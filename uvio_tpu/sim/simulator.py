@@ -1,0 +1,252 @@
+"""Deterministic VIO simulator (test oracle).
+
+Behavioral equivalent of `ov_msckf/src/sim/Simulator.{h,cpp}`: a cubic
+SE(3) B-spline trajectory, a persistent 3D feature map, seeded noise
+generation for IMU (white noise + random-walk biases) and camera uv
+projections. Used exactly as the reference uses it — as the primary
+correctness harness (NEES/ATE against exact groundtruth).
+
+Host-side orchestration in numpy (sensor sequencing, RNG) with the
+geometry (spline kinematics, batched projection) in jitted JAX.
+Determinism: fixed seeds, no threading.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cam import RADTAN, distort
+from ..math import quat_to_rot, rot_to_quat
+from . import bspline
+
+
+@dataclasses.dataclass
+class SimCamera:
+    model: int = RADTAN
+    intrinsics: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([458.0, 458.0, 367.0, 248.0, 0.0, 0.0, 0.0, 0.0])
+    )
+    q_ItoC: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 0.0, 1.0])
+    )
+    p_IinC: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    width: int = 752
+    height: int = 480
+
+
+@dataclasses.dataclass
+class SimParams:
+    sim_freq_imu: float = 400.0
+    sim_freq_cam: float = 10.0
+    sigma_w: float = 1.6968e-04
+    sigma_wb: float = 1.9393e-05
+    sigma_a: float = 2.0000e-3
+    sigma_ab: float = 3.0000e-03
+    sigma_pix: float = 1.0
+    gravity_mag: float = 9.81
+    num_pts: int = 50
+    min_feature_depth: float = 5.0
+    max_feature_depth: float = 10.0
+    map_density_hz: float = 2.0  # map spawn rate along trajectory
+    pts_per_spawn: int = 50
+    seed: int = 10
+    cameras: List[SimCamera] = dataclasses.field(default_factory=lambda: [SimCamera()])
+
+
+def circle_trajectory(
+    duration: float = 60.0, radius: float = 2.0, height_amp: float = 0.6, hz: float = 20.0
+):
+    """Procedural smooth trajectory (standalone alternative to the
+    reference's `ov_data/sim` files): a circle with vertical bobbing and
+    tangent-facing yaw, guaranteeing full 6-dof excitation."""
+    t = np.arange(0.0, duration, 1.0 / hz)
+    th = 2.0 * np.pi * t / 20.0  # one lap per 20 s
+    p = np.stack(
+        [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2.2 * th)], axis=1
+    )
+    # yaw follows tangent, plus gentle roll/pitch oscillation
+    yaw = th + np.pi / 2.0
+    roll = 0.2 * np.sin(1.7 * th)
+    pitch = 0.15 * np.cos(2.3 * th)
+    from scipy.spatial.transform import Rotation as Rsp
+
+    R_ItoG = Rsp.from_euler("zyx", np.stack([yaw, pitch, roll], axis=1)).as_matrix()
+    q_GtoI = np.asarray(rot_to_quat(jnp.asarray(np.transpose(R_ItoG, (0, 2, 1)))))
+    return t, q_GtoI, p
+
+
+def load_tum_trajectory(path: str):
+    """Load `timestamp tx ty tz qx qy qz qw` (JPL q_GtoI, as the
+    reference's `DatasetReader::load_simulated_trajectory`)."""
+    data = np.loadtxt(path, comments="#")
+    t = data[:, 0]
+    p = data[:, 1:4]
+    q = data[:, 4:8]
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return t, q, p
+
+
+@jax.jit
+def _project_map(
+    pts_G, R_GtoI, p_IinG, R_ItoC, p_IinC, intrinsics, wh, min_d, max_d
+):
+    """Project all map points into one camera; returns (uv (N,2), mask)."""
+    p_FinI = (pts_G - p_IinG[None, :]) @ R_GtoI.T
+    p_FinC = p_FinI @ R_ItoC.T + p_IinC[None, :]
+    z = p_FinC[:, 2]
+    uv_norm = p_FinC[:, :2] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)[:, None]
+    uv = distort(intrinsics, RADTAN, uv_norm)
+    ok = (
+        (z > min_d)
+        & (z < max_d)
+        & (uv[:, 0] > 0)
+        & (uv[:, 0] < wh[0] - 1)
+        & (uv[:, 1] > 0)
+        & (uv[:, 1] < wh[1] - 1)
+    )
+    return uv, ok
+
+
+class Simulator:
+    """Seeded sensor stream generator over a spline trajectory."""
+
+    def __init__(self, params: SimParams, trajectory=None):
+        self.params = params
+        if trajectory is None:
+            trajectory = circle_trajectory()
+        times, q_GtoI, p_IinG = trajectory
+        self.t0_traj, self.dt_ctrl, self.controls = bspline.build_controls(
+            times, q_GtoI, p_IinG
+        )
+        # usable spline time range (needs one control each side)
+        self.t_start = self.t0_traj + 2.0 * self.dt_ctrl
+        self.t_end = float(times[-1]) - 2.0 * self.dt_ctrl
+
+        self.rng_imu = np.random.default_rng(params.seed)
+        self.rng_cams = [
+            np.random.default_rng(params.seed + 1 + i) for i in range(len(params.cameras))
+        ]
+        self.rng_map = np.random.default_rng(params.seed + 100)
+
+        self.cur_imu_t = self.t_start
+        self.cur_cam_t = self.t_start
+        self.true_bg = np.zeros(3)
+        self.true_ba = np.zeros(3)
+        # bias history for groundtruth lookup (timestamp -> bias)
+        self.bias_hist: List[Tuple[float, np.ndarray, np.ndarray]] = [
+            (self.cur_imu_t, self.true_bg.copy(), self.true_ba.copy())
+        ]
+        self._gen_feature_map()
+
+    # -- map -----------------------------------------------------------
+    def _gen_feature_map(self):
+        """Spawn frustum points at regular trajectory samples (behavioral
+        match of Simulator::generate_points, made static/pregenerated)."""
+        p = self.params
+        ts = np.arange(self.t_start, self.t_end, 1.0 / p.map_density_hz)
+        states = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray(ts)
+        )
+        pts = []
+        for i in range(len(ts)):
+            R_GtoI = np.asarray(states["R_GtoI"][i])
+            p_IinG = np.asarray(states["p_IinG"][i])
+            for cam in p.cameras:
+                R_ItoC = np.asarray(quat_to_rot(jnp.asarray(cam.q_ItoC)))
+                fx, fy, cx, cy = cam.intrinsics[:4]
+                n = p.pts_per_spawn // max(1, len(p.cameras))
+                u = self.rng_map.uniform(0, cam.width, n)
+                v = self.rng_map.uniform(0, cam.height, n)
+                d = self.rng_map.uniform(p.min_feature_depth, p.max_feature_depth, n)
+                xn = (u - cx) / fx
+                yn = (v - cy) / fy
+                p_FinC = np.stack([xn * d, yn * d, d], axis=1)
+                p_FinI = (p_FinC - cam.p_IinC[None, :]) @ R_ItoC
+                p_FinG = p_FinI @ R_GtoI + p_IinG[None, :]
+                pts.append(p_FinG)
+        self.map_pts = np.concatenate(pts, axis=0)
+        self.map_pts_j = jnp.asarray(self.map_pts)
+
+    # -- groundtruth ---------------------------------------------------
+    def get_gt_state(self, t: float):
+        """q_GtoI, p, v, bg, ba at time t (exact spline + bias history)."""
+        st = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([t])
+        )
+        q = np.asarray(rot_to_quat(st["R_GtoI"][0]))
+        bt = np.array([b[0] for b in self.bias_hist])
+        i = np.clip(np.searchsorted(bt, t) - 1, 0, len(self.bias_hist) - 1)
+        return {
+            "q_GtoI": q,
+            "p_IinG": np.asarray(st["p_IinG"][0]),
+            "v_IinG": np.asarray(st["v_IinG"][0]),
+            "bg": self.bias_hist[i][1],
+            "ba": self.bias_hist[i][2],
+        }
+
+    def ok(self):
+        return self.cur_imu_t < self.t_end and self.cur_cam_t < self.t_end
+
+    # -- sensors -------------------------------------------------------
+    def get_next_imu(self) -> Optional[Tuple[float, np.ndarray, np.ndarray]]:
+        p = self.params
+        dt = 1.0 / p.sim_freq_imu
+        t = self.cur_imu_t + dt
+        if t > self.t_end:
+            return None
+        self.cur_imu_t = t
+        st = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([t])
+        )
+        R_GtoI = np.asarray(st["R_GtoI"][0])
+        a_IinG = np.asarray(st["a_IinG"][0])
+        w_IinI = np.asarray(st["w_IinI"][0])
+        gravity = np.array([0.0, 0.0, p.gravity_mag])
+        accel_inI = R_GtoI @ (a_IinG + gravity)
+        # bias random walk then white noise (Simulator.cpp:360-385)
+        self.true_bg = self.true_bg + p.sigma_wb * np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        self.true_ba = self.true_ba + p.sigma_ab * np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        self.bias_hist.append((t, self.true_bg.copy(), self.true_ba.copy()))
+        wm = w_IinI + self.true_bg + p.sigma_w / np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        am = accel_inI + self.true_ba + p.sigma_a / np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        return t, wm, am
+
+    def get_next_cam(self):
+        """Returns (t, [(ids, uvs) per camera]) or None.
+
+        uv noise sigma_pix; ids are persistent map indices (TrackSIM
+        semantics — `ov_core/src/track/TrackSIM.h:37-70`)."""
+        p = self.params
+        t = self.cur_cam_t + 1.0 / p.sim_freq_cam
+        if t > self.t_end:
+            return None
+        self.cur_cam_t = t
+        st = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([t])
+        )
+        R_GtoI = st["R_GtoI"][0]
+        p_IinG = st["p_IinG"][0]
+        out = []
+        for ci, cam in enumerate(p.cameras):
+            R_ItoC = quat_to_rot(jnp.asarray(cam.q_ItoC))
+            uv, ok = _project_map(
+                self.map_pts_j,
+                R_GtoI,
+                p_IinG,
+                R_ItoC,
+                jnp.asarray(cam.p_IinC),
+                jnp.asarray(cam.intrinsics),
+                jnp.asarray([cam.width, cam.height], dtype=jnp.float64),
+                0.1,
+                80.0,
+            )
+            ids = np.nonzero(np.asarray(ok))[0][: p.num_pts]
+            uvs = np.asarray(uv)[ids]
+            uvs = uvs + p.sigma_pix * self.rng_cams[ci].standard_normal(uvs.shape)
+            out.append((ids, uvs))
+        return t, out
