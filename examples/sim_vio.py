@@ -1,0 +1,134 @@
+"""End-to-end simulated VIO run (the `run_simulation` equivalent).
+
+Generates seeded IMU + feature tracks from the B-spline simulator,
+runs the MSCKF manager initialized from groundtruth, and reports ATE
+and NEES against the exact simulated trajectory.
+
+Usage:
+    PYTHONPATH=. python examples/sim_vio.py [--duration 30] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--imu-hz", type=float, default=200.0)
+    ap.add_argument("--cam-hz", type=float, default=10.0)
+    ap.add_argument("--num-pts", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import uvio_tpu  # noqa: F401
+    from uvio_tpu.manager import CameraConfig, VioConfig, VioManager
+    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
+    from uvio_tpu.eval import ate, nees
+
+    sim = Simulator(
+        SimParams(
+            sim_freq_imu=args.imu_hz,
+            sim_freq_cam=args.cam_hz,
+            num_pts=args.num_pts,
+            seed=args.seed,
+        ),
+        trajectory=circle_trajectory(duration=args.duration + 6.0),
+    )
+    cam = sim.params.cameras[0]
+    cfg = VioConfig(
+        max_clones=11,
+        max_msckf_in_update=40,
+        sigma_pix=sim.params.sigma_pix,
+        cameras=[
+            CameraConfig(
+                model=cam.model,
+                intrinsics=cam.intrinsics,
+                q_ItoC=cam.q_ItoC,
+                p_IinC=cam.p_IinC,
+            )
+        ],
+    )
+    mgr = VioManager(cfg)
+
+    gt0 = sim.get_gt_state(sim.t_start)
+    mgr.initialize_with_gt(
+        sim.t_start, gt0["q_GtoI"], gt0["p_IinG"], gt0["v_IinG"], gt0["bg"], gt0["ba"]
+    )
+
+    est_t, est_q, est_p = [], [], []
+    gt_q, gt_p = [], []
+    cov_o, cov_p = [], []
+    t_wall0 = time.time()
+    frames = 0
+    while sim.ok():
+        r = sim.get_next_imu()
+        if r is None:
+            break
+        t, wm, am = r
+        mgr.feed_imu(t, wm, am)
+        if sim.cur_cam_t + 1.0 / sim.params.sim_freq_cam <= t:
+            rc = sim.get_next_cam()
+            if rc is None:
+                break
+            tc, obs = rc
+            mgr.feed_features(tc, obs)
+            frames += 1
+            st = mgr.state
+            est_t.append(tc)
+            est_q.append(np.asarray(st.q))
+            est_p.append(np.asarray(st.p))
+            g = sim.get_gt_state(tc)
+            gt_q.append(g["q_GtoI"])
+            gt_p.append(g["p_IinG"])
+            P = np.asarray(st.cov)
+            cov_o.append(P[0:3, 0:3])
+            cov_p.append(P[3:6, 3:6])
+            if frames % 50 == 0:
+                ep = np.linalg.norm(est_p[-1] - gt_p[-1])
+                print(f"t={tc - sim.t_start:6.2f}s frames={frames} |p_err|={ep:.3f} m")
+        if est_t and est_t[-1] - sim.t_start > args.duration:
+            break
+    wall = time.time() - t_wall0
+
+    est_t = np.asarray(est_t)
+    res = ate(
+        est_t,
+        np.asarray(est_q),
+        np.asarray(est_p),
+        est_t,
+        np.asarray(gt_q),
+        np.asarray(gt_p),
+        method="none",
+    )
+    n_o, n_p = nees(
+        np.asarray(est_q),
+        np.asarray(est_p),
+        np.asarray(cov_o),
+        np.asarray(cov_p),
+        np.asarray(gt_q),
+        np.asarray(gt_p),
+    )
+    sim_dur = est_t[-1] - est_t[0]
+    print(
+        f"\nframes={frames} wall={wall:.1f}s ({frames / wall:.1f} fps, "
+        f"{sim_dur / wall:.2f}x realtime)"
+    )
+    print(f"ATE  rmse_pos = {res['rmse_pos']:.4f} m   rmse_ori = {res['rmse_ori_deg']:.3f} deg")
+    print(f"NEES ori median = {np.median(n_o):.2f}  pos median = {np.median(n_p):.2f}  (target ~3)")
+    return res, (n_o, n_p)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -1,0 +1,121 @@
+"""Batched feature triangulation + Gauss-Newton refinement.
+
+TPU-native equivalent of `ov_core/src/feat/FeatureInitializer.{h,cpp}`:
+
+  * `single_triangulation` (linear A p = b accumulation of skew-bearing
+    outer products with condition-number and depth gating,
+    `FeatureInitializer.cpp:30-112`) -> `triangulate_linear`, vmapped
+    over a padded feature batch;
+  * `single_gaussnewton` (inverse-depth GN refine with fixed iteration
+    count replacing the convergence loop) -> `refine_gauss_newton`.
+
+All observations arrive as *normalized* image coordinates with masks;
+camera clone poses are (R_GtoC (K*C,3,3), p_CinG (K*C,3)) flattened
+over (clone slot, camera).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..math import skew
+
+_GN_ITERS = 5
+
+
+def triangulate_linear(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0, max_cond=10000.0):
+    """Linear triangulation of one feature in the global frame.
+
+    uvn (M,2) normalized obs, mask (M,), R_GtoC (M,3,3), p_CinG (M,3).
+    Returns (p_FinG (3,), ok). The anchor frame of the reference version
+    is immaterial to the LS solution; depth gating is evaluated in each
+    observing camera like the reference's anchor-frame check.
+    """
+    ones = jnp.ones(uvn.shape[:-1] + (1,), uvn.dtype)
+    b_C = jnp.concatenate([uvn, ones], axis=-1)
+    b_G = jnp.einsum("mij,mj->mi", jnp.swapaxes(R_GtoC, -1, -2), b_C)
+    b_G = b_G / jnp.linalg.norm(b_G, axis=-1, keepdims=True)
+    N = skew(b_G)  # (M,3,3)
+    NtN = jnp.einsum("mji,mjk->mik", N, N)  # skew^T skew
+    w = mask[:, None, None].astype(uvn.dtype)
+    A = jnp.sum(w * NtN, axis=0)
+    bvec = jnp.einsum("mik,mk->mi", NtN, p_CinG)
+    bsum = jnp.sum(mask[:, None] * bvec, axis=0)
+    # solve with safeguard
+    evals = jnp.linalg.eigvalsh(A)
+    cond = evals[-1] / jnp.maximum(evals[0], 1e-18)
+    A_safe = A + 1e-12 * jnp.eye(3, dtype=A.dtype)
+    p = jnp.linalg.solve(A_safe, bsum)
+    # depth in each observing camera
+    p_inC = jnp.einsum("mij,mj->mi", R_GtoC, p - p_CinG)
+    z = p_inC[:, 2]
+    depth_ok = jnp.all(jnp.where(mask, (z > min_depth) & (z < max_depth), True))
+    nobs = jnp.sum(mask)
+    ok = (cond < max_cond) & depth_ok & (nobs >= 2) & jnp.all(jnp.isfinite(p))
+    return jnp.where(ok, p, jnp.zeros(3, p.dtype)), ok
+
+
+def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG):
+    """Fixed-iteration GN refinement over inverse-depth coords (alpha,
+    beta, rho) in the first valid camera's (anchor) frame.
+
+    Mirrors `single_gaussnewton` (`FeatureInitializer.cpp:197+`) with a
+    static iteration count and masked residuals instead of early exit.
+    Returns (p_refined (3,), ok).
+    """
+    # anchor = first valid observation
+    idx = jnp.argmax(mask)
+    R_GtoA = R_GtoC[idx]
+    p_AinG = p_CinG[idx]
+    p_inA = R_GtoA @ (p0 - p_AinG)
+    z = jnp.where(jnp.abs(p_inA[2]) < 1e-6, 1e-6, p_inA[2])
+    x = jnp.stack([p_inA[0] / z, p_inA[1] / z, 1.0 / z])  # alpha beta rho
+
+    # per-obs anchor->camera transforms
+    R_AtoC = jnp.einsum("mij,kj->mik", R_GtoC, R_GtoA)  # R_GtoC @ R_GtoA^T
+    p_AinC = jnp.einsum("mij,mj->mi", R_GtoC, p_AinG[None] - p_CinG)
+
+    def residuals(x):
+        alpha, beta, rho = x[0], x[1], x[2]
+        h = jnp.einsum("mij,j->mi", R_AtoC, jnp.stack([alpha, beta, jnp.ones_like(alpha)])) + rho * p_AinC
+        hz = jnp.where(jnp.abs(h[:, 2]) < 1e-9, 1e-9, h[:, 2])
+        pred = h[:, :2] / hz[:, None]
+        r = (pred - uvn) * mask[:, None]
+        return r.reshape(-1)
+
+    def body(_, x):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        JtJ = J.T @ J + 1e-9 * jnp.eye(3, dtype=x.dtype)
+        dx = jnp.linalg.solve(JtJ, J.T @ r)
+        return x - dx
+
+    x = jax.lax.fori_loop(0, _GN_ITERS, body, x)
+    alpha, beta, rho = x[0], x[1], x[2]
+    ok = rho > 1e-4
+    safe_rho = jnp.where(ok, rho, 1.0)
+    p_inA_new = jnp.stack([alpha / safe_rho, beta / safe_rho, 1.0 / safe_rho])
+    p_new = R_GtoA.T @ p_inA_new + p_AinG
+    return jnp.where(ok, p_new, p0), ok
+
+
+def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True):
+    """vmapped triangulate + refine over a feature batch.
+
+    uvn (F,M,2), mask (F,M), R_GtoC (F,M,3,3) or (M,3,3) shared,
+    p_CinG likewise. Returns (p_FinG (F,3), ok (F,)).
+    """
+    if R_GtoC.ndim == 3:
+        R_GtoC = jnp.broadcast_to(R_GtoC[None], (uvn.shape[0],) + R_GtoC.shape)
+        p_CinG = jnp.broadcast_to(p_CinG[None], (uvn.shape[0],) + p_CinG.shape)
+
+    def one(uvn_f, mask_f, R_f, p_f):
+        p_lin, ok_lin = triangulate_linear(uvn_f, mask_f, R_f, p_f)
+        if refine:
+            p_ref, ok_ref = refine_gauss_newton(p_lin, uvn_f, mask_f, R_f, p_f)
+        else:
+            p_ref, ok_ref = p_lin, jnp.asarray(True)
+        return jnp.where(ok_lin, p_ref, p_lin), ok_lin & ok_ref
+
+    return jax.vmap(one)(uvn, mask, R_GtoC, p_CinG)
