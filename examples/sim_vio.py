@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--imu-hz", type=float, default=200.0)
     ap.add_argument("--cam-hz", type=float, default=10.0)
     ap.add_argument("--num-pts", type=int, default=50)
+    ap.add_argument("--max-slam", type=int, default=0)
+    ap.add_argument("--static-init", action="store_true")
+    ap.add_argument("--zupt", action="store_true")
+    ap.add_argument("--uwb", action="store_true", help="UWB-aided (UVIO) mode")
+    ap.add_argument("--still-time", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
@@ -37,35 +42,79 @@ def main():
     from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
     from uvio_tpu.eval import ate, nees
 
+    uwb_anchors = {}
+    if args.uwb:
+        uwb_anchors = {
+            1: (np.array([4.0, 4.0, 2.0]), 0.15, 0.01),
+            2: (np.array([-4.0, 4.0, 0.5]), -0.1, 0.005),
+            3: (np.array([-4.0, -4.0, 2.5]), 0.2, 0.0),
+            4: (np.array([4.0, -4.0, 1.0]), 0.0, 0.02),
+        }
     sim = Simulator(
         SimParams(
             sim_freq_imu=args.imu_hz,
             sim_freq_cam=args.cam_hz,
             num_pts=args.num_pts,
             seed=args.seed,
+            uwb_anchors=uwb_anchors,
         ),
-        trajectory=circle_trajectory(duration=args.duration + 6.0),
+        trajectory=circle_trajectory(
+            duration=args.duration + 6.0 + args.still_time, still_time=args.still_time
+        ),
     )
     cam = sim.params.cameras[0]
-    cfg = VioConfig(
-        max_clones=11,
-        max_msckf_in_update=40,
-        sigma_pix=sim.params.sigma_pix,
-        cameras=[
-            CameraConfig(
-                model=cam.model,
-                intrinsics=cam.intrinsics,
-                q_ItoC=cam.q_ItoC,
-                p_IinC=cam.p_IinC,
-            )
-        ],
-    )
-    mgr = VioManager(cfg)
+    cam_cfgs = [
+        CameraConfig(
+            model=cam.model,
+            intrinsics=cam.intrinsics,
+            q_ItoC=cam.q_ItoC,
+            p_IinC=cam.p_IinC,
+        )
+    ]
+    if args.uwb:
+        from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
 
-    gt0 = sim.get_gt_state(sim.t_start)
-    mgr.initialize_with_gt(
-        sim.t_start, gt0["q_GtoI"], gt0["p_IinG"], gt0["v_IinG"], gt0["bg"], gt0["ba"]
-    )
+        rng = np.random.default_rng(1)
+        anchor_cfgs = [
+            AnchorConfig(
+                anchor_id=aid,
+                p_AinG=p + rng.normal(scale=0.05, size=3),  # imperfect prior
+                gamma=0.0,
+                alpha=0.0,
+                prior_cov=np.diag([0.05**2] * 3 + [0.25**2, 0.025**2]),
+            )
+            for aid, (p, g, a) in uwb_anchors.items()
+        ]
+        cfg = UVioConfig(
+            max_clones=11,
+            max_msckf_in_update=40,
+            max_slam=args.max_slam,
+            use_static_init=args.static_init,
+            try_zupt=args.zupt,
+            sigma_pix=sim.params.sigma_pix,
+            cameras=cam_cfgs,
+            max_anchors=len(anchor_cfgs),
+            anchors=anchor_cfgs,
+            sigma_range=sim.params.sigma_range,
+        )
+        mgr = UVioManager(cfg)
+    else:
+        cfg = VioConfig(
+            max_clones=11,
+            max_msckf_in_update=40,
+            max_slam=args.max_slam,
+            use_static_init=args.static_init,
+            try_zupt=args.zupt,
+            sigma_pix=sim.params.sigma_pix,
+            cameras=cam_cfgs,
+        )
+        mgr = VioManager(cfg)
+
+    if not args.static_init:
+        gt0 = sim.get_gt_state(sim.t_start)
+        mgr.initialize_with_gt(
+            sim.t_start, gt0["q_GtoI"], gt0["p_IinG"], gt0["v_IinG"], gt0["bg"], gt0["ba"]
+        )
 
     est_t, est_q, est_p = [], [], []
     gt_q, gt_p = [], []
@@ -78,12 +127,18 @@ def main():
             break
         t, wm, am = r
         mgr.feed_imu(t, wm, am)
+        if args.uwb and sim.cur_uwb_t + 1.0 / sim.params.uwb_freq <= t:
+            ru = sim.get_next_uwb()
+            if ru is not None:
+                mgr.feed_uwb(*ru)
         if sim.cur_cam_t + 1.0 / sim.params.sim_freq_cam <= t:
             rc = sim.get_next_cam()
             if rc is None:
                 break
             tc, obs = rc
             mgr.feed_features(tc, obs)
+            if not mgr.is_initialized:
+                continue
             frames += 1
             st = mgr.state
             est_t.append(tc)
@@ -103,6 +158,9 @@ def main():
     wall = time.time() - t_wall0
 
     est_t = np.asarray(est_t)
+    # self-initialized runs define their own origin/yaw: align with posyaw
+    # (the observability-aware alignment the reference defaults to)
+    method = "posyaw" if args.static_init else "none"
     res = ate(
         est_t,
         np.asarray(est_q),
@@ -110,16 +168,19 @@ def main():
         est_t,
         np.asarray(gt_q),
         np.asarray(gt_p),
-        method="none",
+        method=method,
     )
-    n_o, n_p = nees(
-        np.asarray(est_q),
-        np.asarray(est_p),
-        np.asarray(cov_o),
-        np.asarray(cov_p),
-        np.asarray(gt_q),
-        np.asarray(gt_p),
-    )
+    if args.static_init:
+        n_o = n_p = np.array([np.nan])  # NEES needs a shared frame (gt init)
+    else:
+        n_o, n_p = nees(
+            np.asarray(est_q),
+            np.asarray(est_p),
+            np.asarray(cov_o),
+            np.asarray(cov_p),
+            np.asarray(gt_q),
+            np.asarray(gt_p),
+        )
     sim_dur = est_t[-1] - est_t[0]
     print(
         f"\nframes={frames} wall={wall:.1f}s ({frames / wall:.1f} fps, "

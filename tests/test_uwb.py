@@ -1,0 +1,147 @@
+"""UWB range update tests: Jacobian vs autodiff, chi2 rejection,
+anchor/extrinsic calibration convergence, and the UVIO manager drain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation as Rsp
+
+from uvio_tpu.math import quat_to_rot, rot_to_quat
+from uvio_tpu.types import StateLayout, init_state
+from uvio_tpu.update.uwb import _range_jacobian, predicted_range, uwb_update
+
+RNG = np.random.default_rng(2)
+
+
+def make_state(layout, n_anchors=3):
+    s = init_state(layout)
+    R = Rsp.from_euler("xyz", [10, -5, 30], degrees=True).as_matrix()
+    q = rot_to_quat(jnp.asarray(R))
+    s = s.replace(
+        q=q, q_fej=q,
+        p=jnp.asarray([1.0, 2.0, 0.5]), p_fej=jnp.asarray([1.0, 2.0, 0.5]),
+        uwb_p_IinU=jnp.asarray([0.05, -0.02, 0.1]),
+        cov=jnp.asarray(np.eye(layout.dim) * 1e-2),
+        time=jnp.asarray(0.0),
+    )
+    for a in range(n_anchors):
+        s = s.replace(
+            anchors_p=s.anchors_p.at[a].set(jnp.asarray(RNG.uniform(-5, 5, 3))),
+            anchors_gamma=s.anchors_gamma.at[a].set(0.1 * a),
+            anchors_alpha=s.anchors_alpha.at[a].set(0.01 * a),
+            anchors_valid=s.anchors_valid.at[a].set(True),
+        )
+    return s
+
+
+def test_range_jacobian_matches_autodiff():
+    layout = StateLayout(max_clones=3, max_anchors=3, calib_uwb_extrinsics=True)
+    s = make_state(layout)
+
+    for aidx in range(3):
+        H, d = _range_jacobian(s, layout, jnp.int32(aidx))
+
+        # numeric: perturb each state block through the boxplus used by inject
+        from uvio_tpu.filter.ekf import inject
+
+        def yhat_of_dx(dx):
+            sp = inject(s, layout, dx)
+            # FEJ must follow for the Jacobian check (fej == value here)
+            sp = sp.replace(q_fej=sp.q, p_fej=sp.p)
+            y, _, _, _ = predicted_range(sp, jnp.int32(aidx))
+            return y
+
+        eps = 1e-7
+        D = layout.dim
+        cols = (
+            list(range(0, 6))
+            + list(range(layout.calib_uwb_off, layout.calib_uwb_off + 3))
+            + list(range(layout.anchor_slot_off(aidx), layout.anchor_slot_off(aidx) + 5))
+        )
+        for c in cols:
+            dx = np.zeros(D)
+            dx[c] = eps
+            num = (float(yhat_of_dx(jnp.asarray(dx))) - float(yhat_of_dx(jnp.zeros(D)))) / eps
+            np.testing.assert_allclose(num, float(H[0, c]), atol=1e-5,
+                                       err_msg=f"anchor {aidx} column {c}")
+
+
+def test_uwb_update_reduces_error():
+    layout = StateLayout(max_clones=3, max_anchors=3)
+    s = make_state(layout)
+    # true ranges from a slightly different position
+    p_true = np.asarray(s.p) + np.array([0.2, -0.1, 0.05])
+    R = quat_to_rot(s.q)
+    p_U_true = p_true - np.asarray(R).T @ np.asarray(s.uwb_p_IinU)
+    ranges = np.zeros(3)
+    for a in range(3):
+        d = np.linalg.norm(np.asarray(s.anchors_p[a]) - p_U_true)
+        ranges[a] = (1 + float(s.anchors_alpha[a])) * d + float(s.anchors_gamma[a])
+    ns, info = uwb_update(
+        s, layout, jnp.asarray(ranges), jnp.ones(3, bool), sigma_range=0.05
+    )
+    assert bool(jnp.all(info["accepted"]))
+    err0 = np.linalg.norm(np.asarray(s.p) - p_true)
+    err1 = np.linalg.norm(np.asarray(ns.p) - p_true)
+    assert err1 < err0
+
+
+def test_uwb_chi2_rejects_outlier():
+    layout = StateLayout(max_clones=3, max_anchors=3)
+    s = make_state(layout)
+    y0, _, _, _ = predicted_range(s, jnp.int32(0))
+    ranges = np.array([float(y0) + 25.0, 0.0, 0.0])  # gross outlier
+    mask = np.array([True, False, False])
+    ns, info = uwb_update(s, layout, jnp.asarray(ranges), jnp.asarray(mask), sigma_range=0.05)
+    assert not bool(info["accepted"][0])
+    np.testing.assert_allclose(np.asarray(ns.p), np.asarray(s.p), atol=1e-12)
+
+
+def test_uwb_invalid_anchor_ignored():
+    layout = StateLayout(max_clones=3, max_anchors=3)
+    s = make_state(layout, n_anchors=2)  # anchor 2 invalid
+    ranges = np.array([0.0, 0.0, 3.0])
+    mask = np.array([False, False, True])
+    ns, info = uwb_update(s, layout, jnp.asarray(ranges), jnp.asarray(mask))
+    assert not bool(info["accepted"][2])
+    np.testing.assert_allclose(np.asarray(ns.cov), np.asarray(s.cov), atol=1e-12)
+
+
+def test_uvio_manager_drain():
+    from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
+    from uvio_tpu.manager import CameraConfig
+
+    anchors = [
+        AnchorConfig(anchor_id=10, p_AinG=np.array([3.0, 0, 1.5])),
+        AnchorConfig(anchor_id=11, p_AinG=np.array([-2.0, 2, 0.5]), fix=True),
+    ]
+    cfg = UVioConfig(
+        max_clones=5, max_anchors=4, anchors=anchors, sigma_range=0.05,
+        cameras=[CameraConfig()],
+    )
+    mgr = UVioManager(cfg)
+    assert mgr.anchors_initialized
+    # fixed anchor has zero covariance
+    off = mgr.layout.anchor_slot_off(mgr.anchor_slot_by_id[11])
+    P = np.asarray(mgr.state.cov)
+    np.testing.assert_allclose(P[off : off + 5, off : off + 5], 0.0)
+    off0 = mgr.layout.anchor_slot_off(mgr.anchor_slot_by_id[10])
+    assert P[off0, off0] > 0
+
+    mgr.initialize_with_gt(0.0, np.array([0, 0, 0, 1.0]), np.zeros(3), np.zeros(3),
+                           np.zeros(3), np.zeros(3))
+    for i in range(30):
+        t = 0.005 * (i + 1)
+        mgr.feed_imu(t, np.zeros(3), np.array([0, 0, 9.81]))
+    # true range from p=0: |p_A| (lever arm zero)
+    d10 = np.linalg.norm(anchors[0].p_AinG)
+    mgr.feed_uwb(0.05, {10: d10 + 0.01, 99: 5.0})  # unknown anchor dropped
+    assert len(mgr.uwb_buffer) == 1
+    assert 99 not in mgr.uwb_buffer[0][1]
+    # drain happens before the visual update
+    mgr._pre_visual_update(0.1)
+    assert len(mgr.uwb_buffer) == 0
+    assert float(mgr.state.time) >= 0.05 - 1e-9
+    # out-of-order set dropped
+    mgr.feed_uwb(0.02, {10: d10})
+    assert len(mgr.uwb_buffer) == 0

@@ -291,7 +291,9 @@ def initialize_invertible_block(
     s = H_L.shape[0]
     M_a = cov @ H_R.T  # (D, s)
     M = H_R @ M_a + jnp.diag(r_diag)  # (s, s)
-    H_Linv = jnp.linalg.inv(H_L)
+    # invert via QR + triangular solve (XLA:TPU has no f64 LU)
+    Ql, Rl = jnp.linalg.qr(H_L)
+    H_Linv = jax.scipy.linalg.solve_triangular(Rl, Ql.T, lower=False)
     P_LL = H_Linv @ M @ H_Linv.T
     cross = -M_a @ H_Linv.T  # (D, s)
     cov = jax.lax.dynamic_update_slice(cov, cross.T, (slot_off, jnp.int32(0)))

@@ -34,10 +34,14 @@ from .filter.propagator import (
     propagate_and_clone,
     select_imu_readings_np,
 )
+from .filter.ekf import marginalize_slam
 from .frontend.database import FeatureDatabase
+from .init.static_init import StaticInitOptions, try_static_init
+from .update.zupt import zupt_try_update
 from .types.layout import StateLayout
 from .types.state import FilterState, init_state, num_clones, oldest_clone_slot
 from .update.msckf import msckf_update
+from .update.slam import slam_delayed_init, slam_update
 
 
 @dataclasses.dataclass
@@ -54,7 +58,10 @@ class CameraConfig:
 class VioConfig:
     max_clones: int = 11
     max_slam: int = 0
+    feat_rep_slam: int = 1  # representations.ANCHORED_MSCKF_INVERSE_DEPTH
     max_msckf_in_update: int = 40
+    max_slam_init_per_frame: int = 8
+    slam_fail_marg: int = 2  # chi2 failures before landmark marginalization
     max_imu_batch: int = 64
     gravity_mag: float = 9.81
     sigma_pix: float = 1.0
@@ -64,6 +71,17 @@ class VioConfig:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_cam_timeoffset: bool = False
+    # initialization
+    use_static_init: bool = False
+    init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
+    init_max_disparity: float = 10.0  # px, stillness check for no-jerk init
+    # zero-velocity update
+    try_zupt: bool = False
+    zupt_chi2_mult: float = 1.0
+    zupt_noise_mult: float = 10.0
+    zupt_max_velocity: float = 0.1
+    zupt_max_disparity: float = 0.5
+    zupt_only_at_beginning: bool = False
 
 
 class VioManager:
@@ -76,6 +94,7 @@ class VioManager:
             calib_cam_timeoffset=cfg.calib_cam_timeoffset,
             calib_cam_pose=cfg.calib_cam_pose,
             calib_cam_intrinsics=cfg.calib_cam_intrinsics,
+            slam_rep=cfg.feat_rep_slam,
             max_imu_batch=cfg.max_imu_batch,
         )
         s = init_state(self.layout)
@@ -111,6 +130,30 @@ class VioManager:
             )
         )
         self._jit_marg = jax.jit(partial(marginalize_clone, layout=self.layout))
+        # SLAM bookkeeping (host mirror of state.slam_id)
+        self.slam_slot_by_fid: Dict[int, int] = {}
+        self.slam_fail: Dict[int, int] = {}
+        self.slam_consumed_t: Dict[int, float] = {}
+        if cfg.max_slam > 0:
+            self._jit_slam_up = jax.jit(
+                partial(
+                    slam_update,
+                    layout=self.layout,
+                    cam_model=cam_model,
+                    sigma_pix=cfg.sigma_pix,
+                    chi2_mult=cfg.chi2_mult,
+                )
+            )
+            self._jit_slam_init = jax.jit(
+                partial(
+                    slam_delayed_init,
+                    layout=self.layout,
+                    cam_model=cam_model,
+                    sigma_pix=cfg.sigma_pix,
+                    chi2_mult=cfg.chi2_mult,
+                )
+            )
+            self._jit_marg_slam = jax.jit(partial(marginalize_slam, layout=self.layout))
 
     # ------------------------------------------------------------------
     def initialize_with_gt(self, t, q_GtoI, p, v, bg, ba, prior_std=None):
@@ -126,8 +169,11 @@ class VioManager:
                     np.full(3, 0.02),  # ba
                 ]
             )
-        D = self.layout.dim
-        cov = np.zeros((D, D))
+        # set the IMU block prior; preserve any pre-seeded blocks
+        # (anchor/extrinsic priors were installed at construction)
+        cov = np.asarray(self.state.cov).copy()
+        cov[:15, :] = 0.0
+        cov[:, :15] = 0.0
         cov[:15, :15] = np.diag(prior_std**2)
         q = jnp.asarray(q_GtoI)
         self.state = self.state.replace(
@@ -141,6 +187,104 @@ class VioManager:
         self.is_initialized = True
 
     # ------------------------------------------------------------------
+    def _try_static_init(self):
+        opts = self.cfg.init_options
+        if self.cfg.try_zupt:
+            # ZUPT can hold a still platform: init during stillness without
+            # waiting for a jerk, gated on image disparity instead
+            # (InertialInitializer.cpp:102-147 dual-condition dispatch)
+            opts = dataclasses.replace(opts, wait_for_jerk=False)
+            if not self._window_disparity_small(opts.window_time):
+                return False
+        res = try_static_init(
+            np.asarray(self._imu_t), np.stack(self._imu_w) if self._imu_w else np.zeros((0, 3)),
+            np.stack(self._imu_a) if self._imu_a else np.zeros((0, 3)),
+            opts,
+        )
+        if res is None:
+            return False
+        self.initialize_with_gt(
+            res.time, res.q_GtoI, res.p, res.v, res.bg, res.ba, prior_std=res.prior_std
+        )
+        # tracks collected before init reference pre-init clones: drop them
+        self.db.cleanup_older_than(res.time + 1e-9)
+        return True
+
+    def _try_zupt(self, t: float) -> bool:
+        """IMU+disparity zero-velocity test; True = motion frozen."""
+        if self.cfg.zupt_only_at_beginning and getattr(self, "_has_moved", False):
+            return False
+        if self.cfg.zupt_max_disparity > 0 and not self._disparity_small(t):
+            return False
+        t0 = float(self.state.time)
+        if t <= t0:
+            return False
+        tt, ww, aa = select_imu_readings_np(
+            np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
+            t0, t, self.layout.max_imu_batch,
+        )
+        if not hasattr(self, "_jit_zupt"):
+            self._jit_zupt = jax.jit(
+                partial(
+                    zupt_try_update,
+                    layout=self.layout,
+                    noises=self.cfg.noises,
+                    gravity_mag=self.cfg.gravity_mag,
+                    chi2_mult=self.cfg.zupt_chi2_mult,
+                    noise_mult=self.cfg.zupt_noise_mult,
+                    max_velocity=self.cfg.zupt_max_velocity,
+                )
+            )
+        new_state, accepted, _ = self._jit_zupt(
+            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa)
+        )
+        if bool(accepted):
+            self.state = new_state
+            # consumed: observations at this frozen frame can't be used
+            # later (no clone exists for t) — drop them
+            self.db.cleanup_older_than(t + 1e-9)
+            return True
+        self._has_moved = True
+        return False
+
+    def _window_disparity_small(self, window: float) -> bool:
+        """Mean feature displacement across the init window < threshold."""
+        if not self._imu_t:
+            return False
+        t_new = self._imu_t[-1]
+        t_old = t_new - window
+        disps = []
+        for f in self.db.features.values():
+            for cam, lst in f.obs.items():
+                if len(lst) < 2:
+                    continue
+                first = next((o for o in lst if o[0] >= t_old), None)
+                last = lst[-1]
+                if first is not None and last[0] > first[0]:
+                    disps.append(np.hypot(last[1] - first[1], last[2] - first[2]))
+        if not disps:
+            return False
+        return float(np.mean(disps)) < self.cfg.init_max_disparity
+
+    def _disparity_small(self, t: float) -> bool:
+        """Average track disparity between the two newest frames
+        (FeatureHelper::compute_disparity semantics)."""
+        prev = getattr(self, "_last_frame_t", None)
+        if prev is None:
+            return False
+        disps = []
+        for f in self.db.features.values():
+            for cam, lst in f.obs.items():
+                uv_now = [o for o in lst if abs(o[0] - t) < 1e-9]
+                uv_prev = [o for o in lst if abs(o[0] - prev) < 1e-9]
+                if uv_now and uv_prev:
+                    du = uv_now[0][1] - uv_prev[0][1]
+                    dv = uv_now[0][2] - uv_prev[0][2]
+                    disps.append(np.hypot(du, dv))
+        if not disps:
+            return False
+        return float(np.mean(disps)) < self.cfg.zupt_max_disparity
+
     def feed_imu(self, t: float, w: np.ndarray, a: np.ndarray):
         self._imu_t.append(float(t))
         self._imu_w.append(np.asarray(w))
@@ -157,12 +301,25 @@ class VioManager:
             for i, fid in enumerate(ids):
                 self.db.update_feature(int(fid), t, cam, float(uvs[i, 0]), float(uvs[i, 1]))
         if not self.is_initialized:
+            if self.cfg.use_static_init:
+                self._try_static_init()
             return
         if t <= float(self.state.time):
             return  # out-of-order frame: drop (reference warns+drops)
+        if self.cfg.try_zupt and self._try_zupt(t):
+            self._last_frame_t = t
+            return  # motion frozen: no clone, no visual update this frame
+        self._pre_visual_update(t)
         self._propagate_clone(t)
         self._msckf_step(t)
+        if self.cfg.max_slam > 0:
+            self._slam_step(t)
         self._marginalize(t)
+        self._last_frame_t = t
+
+    # ------------------------------------------------------------------
+    def _pre_visual_update(self, t: float):
+        """Hook for subclasses (UVIO drains buffered UWB ranges here)."""
 
     # ------------------------------------------------------------------
     def _propagate_clone(self, t: float):
@@ -194,9 +351,36 @@ class VioManager:
         if len(self.slot_times) > self.cfg.max_clones:
             marg_t = min(self.slot_times.values())
             marg = [f for f in self.db.features_seen_at(marg_t) if f.newest_time() >= t]
-        feats = {f.feat_id: f for f in lost + marg}.values()
-        feats = sorted(feats, key=lambda f: -f.num_obs())
-        return list(feats)[: self.cfg.max_msckf_in_update]
+        feats = {f.feat_id: f for f in lost + marg}
+        # SLAM-tracked features never go through the MSCKF path
+        for fid in self.slam_slot_by_fid:
+            feats.pop(fid, None)
+        # max-track candidates are promoted to SLAM instead (when slots free)
+        for f in self._slam_candidates(t):
+            feats.pop(f.feat_id, None)
+        out = sorted(feats.values(), key=lambda f: -f.num_obs())
+        return out[: self.cfg.max_msckf_in_update]
+
+    def _slam_candidates(self, t: float):
+        """Max-track features eligible for SLAM promotion: observed at the
+        to-be-marginalized clone, still tracked, spanning the window."""
+        if self.cfg.max_slam == 0 or len(self.slot_times) <= self.cfg.max_clones:
+            return []
+        free = self.cfg.max_slam - len(self.slam_slot_by_fid)
+        if free <= 0:
+            return []
+        marg_t = min(self.slot_times.values())
+        out = []
+        for f in self.db.features_seen_at(marg_t):
+            if f.feat_id in self.slam_slot_by_fid:
+                continue
+            if f.newest_time() < t:
+                continue
+            times = {tt for tt in f.times() if tt in {v for v in self.slot_times.values()}}
+            if len(times) >= self.cfg.max_clones:
+                out.append(f)
+        out = sorted(out, key=lambda f: -f.num_obs())
+        return out[: min(free, self.cfg.max_slam_init_per_frame)]
 
     def _build_obs(self, feats):
         """Pad tracks into (F,K,C,2)+(F,K,C) aligned to clone slots."""
@@ -228,10 +412,108 @@ class VioManager:
         self.db.cleanup()
 
     # ------------------------------------------------------------------
+    def _free_landmark(self, fid: int):
+        slot = self.slam_slot_by_fid.pop(fid)
+        self.slam_fail.pop(fid, None)
+        self.slam_consumed_t.pop(fid, None)
+        self.state = self._jit_marg_slam(self.state, slot=jnp.int32(slot))
+
+    def _slam_step(self, t: float):
+        """SLAM landmark maintenance: re-observation update, failure
+        accounting, and delayed init of promoted max-track features."""
+        L = self.layout
+        S, K, C = self.cfg.max_slam, L.max_clones, L.num_cams
+        time_to_slot = {tt: s for s, tt in self.slot_times.items()}
+
+        # 1) drop landmarks whose track died (reference marks should_marg)
+        for fid in list(self.slam_slot_by_fid):
+            f = self.db.features.get(fid)
+            if f is None or f.newest_time() < t:
+                self._free_landmark(fid)
+                if f is not None:
+                    f.to_delete = True
+        self.db.cleanup()
+
+        # 2) re-observation update with not-yet-consumed measurements
+        uv = np.zeros((S, K, C, 2))
+        mask = np.zeros((S, K, C), bool)
+        any_obs = False
+        for fid, slot in self.slam_slot_by_fid.items():
+            f = self.db.features.get(fid)
+            cons = self.slam_consumed_t.get(fid, -np.inf)
+            for cam, lst in f.obs.items():
+                for (tt, u, v) in lst:
+                    s = time_to_slot.get(tt)
+                    if s is not None and tt > cons:
+                        uv[slot, s, cam] = (u, v)
+                        mask[slot, s, cam] = True
+                        any_obs = True
+        if any_obs:
+            self.state, info = self._jit_slam_up(
+                self.state, obs_uv=jnp.asarray(uv), obs_mask=jnp.asarray(mask)
+            )
+            failed = np.asarray(info["failed"])
+            for fid in list(self.slam_slot_by_fid):
+                slot = self.slam_slot_by_fid[fid]
+                self.slam_consumed_t[fid] = t
+                if failed[slot]:
+                    self.slam_fail[fid] = self.slam_fail.get(fid, 0) + 1
+                    if self.slam_fail[fid] >= self.cfg.slam_fail_marg:
+                        f = self.db.features.get(fid)
+                        if f is not None:
+                            f.to_delete = True
+                        self._free_landmark(fid)
+            self.db.cleanup()
+
+        # 3) delayed init of promoted candidates
+        cands = self._slam_candidates(t)
+        if cands:
+            used = set(self.slam_slot_by_fid.values())
+            free_slots = [s for s in range(S) if s not in used]
+            Fc = self.cfg.max_slam_init_per_frame
+            uv = np.zeros((Fc, K, C, 2))
+            mask = np.zeros((Fc, K, C), bool)
+            slots = np.zeros(Fc, np.int32)
+            fids = np.full(Fc, -1, np.int32)
+            for i, f in enumerate(cands[: min(len(free_slots), Fc)]):
+                slots[i] = free_slots[i]
+                fids[i] = f.feat_id
+                for cam, lst in f.obs.items():
+                    for (tt, u, v) in lst:
+                        s = time_to_slot.get(tt)
+                        if s is not None:
+                            uv[i, s, cam] = (u, v)
+                            mask[i, s, cam] = True
+            self.state, info = self._jit_slam_init(
+                self.state,
+                obs_uv=jnp.asarray(uv),
+                obs_mask=jnp.asarray(mask),
+                target_slots=jnp.asarray(slots),
+                cand_ids=jnp.asarray(fids),
+            )
+            inited = np.asarray(info["inited"])
+            for i in range(Fc):
+                if fids[i] >= 0 and inited[i]:
+                    self.slam_slot_by_fid[int(fids[i])] = int(slots[i])
+                    self.slam_consumed_t[int(fids[i])] = t
+
+    # ------------------------------------------------------------------
     def _marginalize(self, t: float):
         if len(self.slot_times) > self.cfg.max_clones:
             slot = min(self.slot_times, key=self.slot_times.get)
             marg_t = self.slot_times.pop(slot)
+            # re-anchor landmarks whose anchor clone is about to die
+            # (UpdaterSLAM::change_anchors)
+            if self.cfg.max_slam > 0 and self.cfg.feat_rep_slam != 0:
+                if not hasattr(self, "_jit_anchor_change"):
+                    from .update.representations import anchor_change
+
+                    self._jit_anchor_change = jax.jit(
+                        partial(anchor_change, layout=self.layout)
+                    )
+                self.state = self._jit_anchor_change(
+                    self.state, marg_slot=jnp.int32(slot), new_slot=self.state.clone_head
+                )
             self.state = self._jit_marg(self.state, slot=jnp.int32(slot))
             # drop observations at (and before) the marginalized time —
             # their clone no longer exists

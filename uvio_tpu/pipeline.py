@@ -1,0 +1,88 @@
+"""Fused per-frame filter step — the flagship jittable "model".
+
+One device-side function covering the reference's
+`do_feature_propagate_update` hot path (`VioManager.cpp:323-714`):
+
+    [marginalize-if-full] -> propagate+clone -> batched MSCKF update
+
+The step is a pure function of (state, frame tensors) and is the unit
+that gets jitted, vmapped over sequence batches (Monte-Carlo / dataset
+evaluation — the reference's `error_dataset` many-runs use case), and
+sharded over a device mesh (data-parallel axis "dp").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .filter.ekf import marginalize_clone
+from .filter.propagator import NoiseManager, propagate_and_clone
+from .types.layout import StateLayout
+from .types.state import FilterState, oldest_clone_slot
+from .update.msckf import msckf_update
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    layout: StateLayout
+    cam_model: int = 0
+    sigma_pix: float = 1.0
+    chi2_mult: float = 1.0
+    gravity_mag: float = 9.81
+    noises: NoiseManager = dataclasses.field(default_factory=NoiseManager)
+
+
+def filter_step(
+    state: FilterState,
+    imu_t: jnp.ndarray,
+    imu_w: jnp.ndarray,
+    imu_a: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    obs_mask: jnp.ndarray,
+    *,
+    cfg: StepConfig,
+):
+    """One camera-frame step. imu_* padded (M,)/(M,3); obs (F,K,C,2)."""
+    L = cfg.layout
+
+    def marg(s):
+        return marginalize_clone(s, L, oldest_clone_slot(s, L))
+
+    state = jax.lax.cond(
+        jnp.all(state.clones_valid), marg, lambda s: s, state
+    )
+    state = propagate_and_clone(
+        state, L, imu_t, imu_w, imu_a, cfg.noises, cfg.gravity_mag
+    )
+    state, info = msckf_update(
+        state,
+        L,
+        cfg.cam_model,
+        obs_uv,
+        obs_mask,
+        sigma_pix=cfg.sigma_pix,
+        chi2_mult=cfg.chi2_mult,
+    )
+    return state, info
+
+
+def make_step(cfg: StepConfig):
+    """Jitted single-sequence step."""
+    return jax.jit(partial(filter_step, cfg=cfg))
+
+
+def make_batched_step(cfg: StepConfig, mesh=None):
+    """vmapped step over a leading sequence-batch axis, optionally
+    sharded over mesh axis "dp" (multi-chip Monte-Carlo / dataset eval).
+    """
+    fn = jax.vmap(partial(filter_step, cfg=cfg))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("dp"))
+    return jax.jit(fn, in_shardings=shard, out_shardings=shard)

@@ -56,16 +56,34 @@ class SimParams:
     pts_per_spawn: int = 50
     seed: int = 10
     cameras: List[SimCamera] = dataclasses.field(default_factory=lambda: [SimCamera()])
+    # UWB simulation (empty = disabled). anchors: id -> (p_AinG, gamma, alpha)
+    uwb_anchors: dict = dataclasses.field(default_factory=dict)
+    uwb_freq: float = 20.0
+    sigma_range: float = 0.1
+    uwb_p_IinU: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
 
 
 def circle_trajectory(
-    duration: float = 60.0, radius: float = 2.0, height_amp: float = 0.6, hz: float = 20.0
+    duration: float = 60.0,
+    radius: float = 2.0,
+    height_amp: float = 0.6,
+    hz: float = 20.0,
+    still_time: float = 0.0,
 ):
     """Procedural smooth trajectory (standalone alternative to the
     reference's `ov_data/sim` files): a circle with vertical bobbing and
-    tangent-facing yaw, guaranteeing full 6-dof excitation."""
+    tangent-facing yaw, guaranteeing full 6-dof excitation.
+
+    still_time > 0 prepends a stationary segment with a smooth ramp-in
+    (for static-init / ZUPT scenarios, like `udel_gore_zupt`)."""
     t = np.arange(0.0, duration, 1.0 / hz)
-    th = 2.0 * np.pi * t / 20.0  # one lap per 20 s
+    if still_time > 0.0:
+        phase = np.clip(t - still_time, 0.0, None)
+        # smooth ramp so velocity/accel are continuous at motion onset
+        ramp = np.where(phase < 2.0, phase**2 / 4.0, phase - 1.0)
+    else:
+        ramp = t
+    th = 2.0 * np.pi * ramp / 20.0  # one lap per 20 s
     p = np.stack(
         [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2.2 * th)], axis=1
     )
@@ -135,6 +153,8 @@ class Simulator:
 
         self.cur_imu_t = self.t_start
         self.cur_cam_t = self.t_start
+        self.cur_uwb_t = self.t_start
+        self.rng_uwb = np.random.default_rng(params.seed + 50)
         self.true_bg = np.zeros(3)
         self.true_ba = np.zeros(3)
         # bias history for groundtruth lookup (timestamp -> bias)
@@ -215,6 +235,28 @@ class Simulator:
         wm = w_IinI + self.true_bg + p.sigma_w / np.sqrt(dt) * self.rng_imu.standard_normal(3)
         am = accel_inI + self.true_ba + p.sigma_a / np.sqrt(dt) * self.rng_imu.standard_normal(3)
         return t, wm, am
+
+    def get_next_uwb(self):
+        """Noisy biased ranges to all configured anchors:
+        y = (1+alpha) d + gamma + n  (uvio range model)."""
+        p = self.params
+        if not p.uwb_anchors:
+            return None
+        t = self.cur_uwb_t + 1.0 / p.uwb_freq
+        if t > self.t_end:
+            return None
+        self.cur_uwb_t = t
+        st = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([t])
+        )
+        R_GtoI = np.asarray(st["R_GtoI"][0])
+        p_IinG = np.asarray(st["p_IinG"][0])
+        p_UinG = p_IinG - R_GtoI.T @ p.uwb_p_IinU
+        ranges = {}
+        for aid, (p_A, gamma, alpha) in p.uwb_anchors.items():
+            d = np.linalg.norm(np.asarray(p_A) - p_UinG)
+            ranges[aid] = (1 + alpha) * d + gamma + p.sigma_range * self.rng_uwb.standard_normal()
+        return t, ranges
 
     def get_next_cam(self):
         """Returns (t, [(ids, uvs) per camera]) or None.

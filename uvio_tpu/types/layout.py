@@ -39,6 +39,9 @@ class StateLayout:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_uwb_extrinsics: bool = False
+    # SLAM landmark representation (update/representations.py constants:
+    # 0 = GLOBAL_3D, 1 = ANCHORED_MSCKF_INVERSE_DEPTH)
+    slam_rep: int = 0
     # max IMU samples handed to one propagation call (padded)
     max_imu_batch: int = 32
 

@@ -50,11 +50,14 @@ class FilterState:
     clones_valid: jnp.ndarray  # (K,) bool
     clone_head: jnp.ndarray  # () int32, slot of newest clone (-1 if none)
 
-    # SLAM landmark pool (GLOBAL_3D representation)
+    # SLAM landmark pool. slam_p holds the representation value:
+    # p_FinG for GLOBAL_3D, (alpha, beta, rho) for anchored inverse depth
     slam_p: jnp.ndarray  # (S,3)
     slam_p_fej: jnp.ndarray  # (S,3)
     slam_valid: jnp.ndarray  # (S,) bool
     slam_id: jnp.ndarray  # (S,) int32 feature id (-1 = free)
+    slam_anchor_slot: jnp.ndarray  # (S,) int32 anchor clone slot
+    slam_anchor_cam: jnp.ndarray  # (S,) int32 anchor camera
 
     # calibration states
     calib_dt: jnp.ndarray  # () camera-IMU time offset
@@ -99,6 +102,8 @@ def init_state(layout: StateLayout, dtype=jnp.float64) -> FilterState:
         slam_p_fej=jnp.zeros((S, 3), dtype=dtype),
         slam_valid=jnp.zeros((S,), dtype=bool),
         slam_id=jnp.full((S,), -1, dtype=jnp.int32),
+        slam_anchor_slot=jnp.zeros((S,), dtype=jnp.int32),
+        slam_anchor_cam=jnp.zeros((S,), dtype=jnp.int32),
         calib_dt=jnp.array(0.0, dtype=dtype),
         calib_cam_q=jnp.tile(q0, (C, 1)),
         calib_cam_p=jnp.zeros((C, 3), dtype=dtype),

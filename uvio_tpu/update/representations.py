@@ -1,0 +1,216 @@
+"""Landmark representations.
+
+Equivalent of `ov_core/src/types/LandmarkRepresentation.h` +
+`UpdaterHelper::get_feature_jacobian_representation`
+(`UpdaterHelper.cpp:32-190`). Round-1 implements the two representations
+the reference's shipped configs actually use
+(`config/euroc_mav/estimator_config.yaml:24-26`):
+
+  * GLOBAL_3D                     — value is p_FinG directly;
+  * ANCHORED_MSCKF_INVERSE_DEPTH  — value is (alpha, beta, rho) in the
+    anchor *camera* frame (anchor = a clone slot + cam id); the
+    measurement Jacobian wrt the anchor pose is deliberately dropped
+    (the "MSCKF" flavor of inverse depth, cf. UpdaterHelper.cpp:116-130).
+
+Also provides the anchor-change transform (`UpdaterSLAM::
+change_anchors/perform_anchor_change`, UpdaterSLAM.cpp:481-560+):
+re-anchoring a landmark to a new clone is a linearized
+re-parameterization — value recomputed exactly, covariance rows mapped
+through Phi = [A at old-landmark cols, B at old-anchor cols, C at
+new-anchor cols].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..math import quat_to_rot, skew
+from ..types.layout import StateLayout
+from ..types.state import FilterState
+
+GLOBAL_3D = 0
+ANCHORED_MSCKF_INVERSE_DEPTH = 1
+
+
+def _anchor_cam_pose(state, slot, cam, fej: bool):
+    """(R_GtoC, p_CinG, R_GtoI, p_IinG) of clone `slot` seen by `cam`."""
+    q = state.clones_q_fej[slot] if fej else state.clones_q[slot]
+    p_I = state.clones_p_fej[slot] if fej else state.clones_p[slot]
+    R_GtoI = quat_to_rot(q)
+    R_ItoC = quat_to_rot(state.calib_cam_q[cam])
+    p_IinC = state.calib_cam_p[cam]
+    R_GtoC = R_ItoC @ R_GtoI
+    p_CinI = -R_ItoC.T @ p_IinC
+    p_CinG = p_I + R_GtoI.T @ p_CinI
+    return R_GtoC, p_CinG, R_GtoI, p_I
+
+
+def invdepth_to_point(val):
+    """(alpha, beta, rho) -> p_FinA (anchor camera frame)."""
+    a, b, rho = val[0], val[1], val[2]
+    safe = jnp.where(jnp.abs(rho) < 1e-8, 1e-8, rho)
+    return jnp.stack([a / safe, b / safe, 1.0 / safe])
+
+
+def point_to_invdepth(p_FinA):
+    z = jnp.where(jnp.abs(p_FinA[2]) < 1e-8, 1e-8, p_FinA[2])
+    return jnp.stack([p_FinA[0] / z, p_FinA[1] / z, 1.0 / z])
+
+
+def d_point_d_invdepth(val):
+    """d p_FinA / d (alpha, beta, rho) (3,3)."""
+    a, b, rho = val[0], val[1], val[2]
+    safe = jnp.where(jnp.abs(rho) < 1e-8, 1e-8, rho)
+    ir = 1.0 / safe
+    ir2 = ir * ir
+    return jnp.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 0]], val.dtype
+    ) * ir - jnp.outer(jnp.stack([a * ir2, b * ir2, ir2]), jnp.array([0.0, 0, 1], val.dtype))
+
+
+def d_invdepth_d_point(p_FinA):
+    """d (alpha,beta,rho) / d p_FinA (3,3)."""
+    x, y, z = p_FinA[0], p_FinA[1], p_FinA[2]
+    zz = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    return jnp.array(
+        [
+            [1.0 / zz, 0.0, -x / zz**2],
+            [0.0, 1.0 / zz, -y / zz**2],
+            [0.0, 0.0, -1.0 / zz**2],
+        ],
+        p_FinA.dtype,
+    )
+
+
+def landmark_global(state: FilterState, layout: StateLayout, fej: bool = False):
+    """(S,3) global positions of all landmark slots, plus (S,3,3) chain
+    Jacobian d p_FinG / d value (identity for GLOBAL_3D)."""
+    if layout.slam_rep == GLOBAL_3D:
+        vals = state.slam_p_fej if fej else state.slam_p
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=vals.dtype), (layout.max_slam, 3, 3))
+        return vals, eye
+
+    def one(slot_idx):
+        val = (state.slam_p_fej if fej else state.slam_p)[slot_idx]
+        a_slot = state.slam_anchor_slot[slot_idx]
+        a_cam = state.slam_anchor_cam[slot_idx]
+        R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, a_slot, a_cam, fej)
+        p_FinA = invdepth_to_point(val)
+        p_FinG = R_GtoC.T @ p_FinA + p_CinG
+        J = R_GtoC.T @ d_point_d_invdepth(val)
+        return p_FinG, J
+
+    return jax.vmap(one)(jnp.arange(layout.max_slam))
+
+
+def anchored_chain(state: FilterState, layout: StateLayout):
+    """Per-slot linearization pieces for anchored landmarks, with FEJ
+    handled like the reference (`UpdaterHelper.cpp:88-99`): the current
+    best global position is re-expressed in the FEJ anchor frame.
+
+    Returns (p_glob (S,3), J_rep (S,3,3) = d p_FinG/d value,
+    H_anc (S,3,6) = d p_FinG/d(anchor theta, anchor p)).
+    For GLOBAL_3D: (values, identity, zeros).
+    """
+    S = layout.max_slam
+    if layout.slam_rep == GLOBAL_3D:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=state.slam_p.dtype), (S, 3, 3))
+        return state.slam_p, eye, jnp.zeros((S, 3, 6), state.slam_p.dtype)
+
+    def one(s):
+        val = state.slam_p[s]
+        a_slot = state.slam_anchor_slot[s]
+        cam = state.slam_anchor_cam[s]
+        R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, a_slot, cam, False)
+        p_FinA = invdepth_to_point(val)
+        p_FinG = R_GtoC.T @ p_FinA + p_CinG  # current best
+        # transform best into the FEJ anchor frame
+        R_GtoI_f = quat_to_rot(state.clones_q_fej[a_slot])
+        p_I_f = state.clones_p_fej[a_slot]
+        R_ItoC = quat_to_rot(state.calib_cam_q[cam])
+        p_IinC = state.calib_cam_p[cam]
+        p_FinA_fej = R_ItoC @ R_GtoI_f @ (p_FinG - p_I_f) + p_IinC
+        R_CtoG = R_GtoI_f.T @ R_ItoC.T
+        J_rep = R_CtoG @ d_point_d_invdepth(point_to_invdepth(p_FinA_fej))
+        H_anc_th = -R_GtoI_f.T @ skew(R_ItoC.T @ (p_FinA_fej - p_IinC))
+        H_anc = jnp.concatenate(
+            [H_anc_th, jnp.eye(3, dtype=val.dtype)], axis=1
+        )
+        return p_FinG, J_rep, H_anc
+
+    return jax.vmap(one)(jnp.arange(S))
+
+
+def point_to_rep(state: FilterState, layout: StateLayout, p_FinG, anchor_slot, anchor_cam):
+    """Global point -> representation value for a (new) anchor."""
+    if layout.slam_rep == GLOBAL_3D:
+        return p_FinG
+    R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, anchor_slot, anchor_cam, False)
+    return point_to_invdepth(R_GtoC @ (p_FinG - p_CinG))
+
+
+def anchor_change(state: FilterState, layout: StateLayout, marg_slot, new_slot):
+    """Re-anchor every landmark currently anchored at clone `marg_slot`
+    to clone `new_slot` (value exactly, covariance to first order)."""
+    if layout.slam_rep == GLOBAL_3D:
+        return state
+    L = layout
+    D = L.dim
+
+    def do_one(st, s):
+        needs = st.slam_valid[s] & (st.slam_anchor_slot[s] == marg_slot)
+
+        def change(st):
+            val = st.slam_p[s]
+            cam = st.slam_anchor_cam[s]
+            # current estimates for the transform (reference uses
+            # current values for the re-anchoring Jacobians)
+            R_a, p_a, R_Ia, p_Ia = _anchor_cam_pose(st, marg_slot, cam, False)
+            R_n, p_n, R_In, p_In = _anchor_cam_pose(st, new_slot, cam, False)
+            p_FinA = invdepth_to_point(val)
+            p_FinG = R_a.T @ p_FinA + p_a
+            p_FinCn = R_n @ (p_FinG - p_n)
+            new_val = point_to_invdepth(p_FinCn)
+
+            Jf_pc = d_invdepth_d_point(p_FinCn)  # (3,3)
+            R_ItoC = quat_to_rot(st.calib_cam_q[cam])
+            # A: wrt old landmark value
+            A = Jf_pc @ R_n @ (R_a.T @ d_point_d_invdepth(val))
+            # B: wrt old anchor clone (theta, p)
+            v_a = R_ItoC.T @ p_FinA - R_ItoC.T @ st.calib_cam_p[cam]
+            B_th = Jf_pc @ R_n @ (-R_Ia.T @ skew(v_a))
+            B_p = Jf_pc @ R_n
+            # C: wrt new anchor clone (theta, p)
+            p_FinIn = R_In @ (p_FinG - p_In)
+            C_th = Jf_pc @ R_ItoC @ skew(p_FinIn)
+            C_p = -Jf_pc @ R_ItoC @ R_In
+
+            Phi = jnp.zeros((3, D), st.cov.dtype)
+            f_off = jnp.int32(L.slam_slot_off(s))
+            o_off = jnp.int32(L.clone_off + 6 * marg_slot)
+            n_off = jnp.int32(L.clone_off + 6 * new_slot)
+            Phi = jax.lax.dynamic_update_slice(Phi, A, (jnp.int32(0), f_off))
+            Phi = jax.lax.dynamic_update_slice(Phi, B_th, (jnp.int32(0), o_off))
+            Phi = jax.lax.dynamic_update_slice(Phi, B_p, (jnp.int32(0), o_off + 3))
+            Phi = jax.lax.dynamic_update_slice(Phi, C_th, (jnp.int32(0), n_off))
+            Phi = jax.lax.dynamic_update_slice(Phi, C_p, (jnp.int32(0), n_off + 3))
+
+            rows = Phi @ st.cov  # (3,D)
+            block = rows @ Phi.T
+            cov = jax.lax.dynamic_update_slice(st.cov, rows, (f_off, jnp.int32(0)))
+            cov = jax.lax.dynamic_update_slice(cov, rows.T, (jnp.int32(0), f_off))
+            cov = jax.lax.dynamic_update_slice(cov, block, (f_off, f_off))
+            return st.replace(
+                cov=cov,
+                slam_p=st.slam_p.at[s].set(new_val),
+                slam_p_fej=st.slam_p_fej.at[s].set(new_val),
+                slam_anchor_slot=st.slam_anchor_slot.at[s].set(
+                    jnp.int32(new_slot)
+                ),
+            )
+
+        return jax.lax.cond(needs, change, lambda x: x, st), None
+
+    state, _ = jax.lax.scan(do_one, state, jnp.arange(L.max_slam))
+    return state

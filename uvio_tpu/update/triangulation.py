@@ -24,6 +24,26 @@ from ..math import skew
 _GN_ITERS = 5
 
 
+def _eigvals_sym3(A):
+    """Ascending eigenvalues of a symmetric 3x3 (closed-form trig
+    method; TPU-safe in f64 where XLA's eig is not)."""
+    q = (A[0, 0] + A[1, 1] + A[2, 2]) / 3.0
+    B = A - q * jnp.eye(3, dtype=A.dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = (
+        B[0, 0] * (B[1, 1] * B[2, 2] - B[1, 2] * B[2, 1])
+        - B[0, 1] * (B[1, 0] * B[2, 2] - B[1, 2] * B[2, 0])
+        + B[0, 2] * (B[1, 0] * B[2, 1] - B[1, 1] * B[2, 0])
+    )
+    r = jnp.clip(detB / (2.0 * p**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    return jnp.stack([e3, e2, e1])
+
+
 def triangulate_linear(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0, max_cond=10000.0):
     """Linear triangulation of one feature in the global frame.
 
@@ -42,11 +62,14 @@ def triangulate_linear(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0,
     A = jnp.sum(w * NtN, axis=0)
     bvec = jnp.einsum("mik,mk->mi", NtN, p_CinG)
     bsum = jnp.sum(mask[:, None] * bvec, axis=0)
-    # solve with safeguard
-    evals = jnp.linalg.eigvalsh(A)
+    # solve with safeguard. A is SPD (sum of skew^T skew + reg), so use
+    # Cholesky and closed-form symmetric-3x3 eigenvalues — XLA:TPU has
+    # no f64 LU/eig, and these are better conditioned anyway.
+    evals = _eigvals_sym3(A)
     cond = evals[-1] / jnp.maximum(evals[0], 1e-18)
     A_safe = A + 1e-12 * jnp.eye(3, dtype=A.dtype)
-    p = jnp.linalg.solve(A_safe, bsum)
+    chol = jax.scipy.linalg.cho_factor(A_safe, lower=True)
+    p = jax.scipy.linalg.cho_solve(chol, bsum)
     # depth in each observing camera
     p_inC = jnp.einsum("mij,mj->mi", R_GtoC, p - p_CinG)
     z = p_inC[:, 2]
@@ -56,12 +79,15 @@ def triangulate_linear(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0,
     return jnp.where(ok, p, jnp.zeros(3, p.dtype)), ok
 
 
-def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG):
+def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG, max_baseline=40.0):
     """Fixed-iteration GN refinement over inverse-depth coords (alpha,
     beta, rho) in the first valid camera's (anchor) frame.
 
-    Mirrors `single_gaussnewton` (`FeatureInitializer.cpp:197+`) with a
-    static iteration count and masked residuals instead of early exit.
+    Mirrors `single_gaussnewton` (`FeatureInitializer.cpp:197-375`) with
+    a static iteration count and masked residuals instead of early exit,
+    including the final acceptance gates: depth bounds and the
+    depth/baseline ratio (`p_FinA.norm()/base_line_max > max_baseline`
+    rejects weak-parallax geometry, FeatureInitializer.cpp:363-371).
     Returns (p_refined (3,), ok).
     """
     # anchor = first valid observation
@@ -88,7 +114,8 @@ def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG):
         r = residuals(x)
         J = jax.jacfwd(residuals)(x)
         JtJ = J.T @ J + 1e-9 * jnp.eye(3, dtype=x.dtype)
-        dx = jnp.linalg.solve(JtJ, J.T @ r)
+        chol = jax.scipy.linalg.cho_factor(JtJ, lower=True)
+        dx = jax.scipy.linalg.cho_solve(chol, J.T @ r)
         return x - dx
 
     x = jax.lax.fori_loop(0, _GN_ITERS, body, x)
@@ -96,11 +123,20 @@ def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG):
     ok = rho > 1e-4
     safe_rho = jnp.where(ok, rho, 1.0)
     p_inA_new = jnp.stack([alpha / safe_rho, beta / safe_rho, 1.0 / safe_rho])
+    # baseline gate: max component of camera positions (anchor frame)
+    # orthogonal to the feature direction, vs. feature distance
+    dirn = p_inA_new / jnp.maximum(jnp.linalg.norm(p_inA_new), 1e-9)
+    p_CinA = jnp.einsum("ij,mj->mi", R_GtoA, p_CinG - p_AinG[None])
+    orth = p_CinA - jnp.outer(p_CinA @ dirn, dirn)
+    base = jnp.where(mask, jnp.linalg.norm(orth, axis=-1), 0.0)
+    base_max = jnp.max(base)
+    ratio_ok = jnp.linalg.norm(p_inA_new) < max_baseline * jnp.maximum(base_max, 1e-12)
+    ok = ok & ratio_ok & jnp.all(jnp.isfinite(p_inA_new))
     p_new = R_GtoA.T @ p_inA_new + p_AinG
     return jnp.where(ok, p_new, p0), ok
 
 
-def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True):
+def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True, max_baseline=40.0):
     """vmapped triangulate + refine over a feature batch.
 
     uvn (F,M,2), mask (F,M), R_GtoC (F,M,3,3) or (M,3,3) shared,
@@ -113,7 +149,9 @@ def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True):
     def one(uvn_f, mask_f, R_f, p_f):
         p_lin, ok_lin = triangulate_linear(uvn_f, mask_f, R_f, p_f)
         if refine:
-            p_ref, ok_ref = refine_gauss_newton(p_lin, uvn_f, mask_f, R_f, p_f)
+            p_ref, ok_ref = refine_gauss_newton(
+                p_lin, uvn_f, mask_f, R_f, p_f, max_baseline=max_baseline
+            )
         else:
             p_ref, ok_ref = p_lin, jnp.asarray(True)
         return jnp.where(ok_lin, p_ref, p_lin), ok_lin & ok_ref

@@ -1,0 +1,222 @@
+"""UVIO manager: UWB-aided VIO with bias-compensated anchors.
+
+Equivalent of `uvio/src/core/UVioManager.{h,cpp}`:
+
+  * anchor seeding from config with 5x5 prior covariances (fixed anchors
+    get zero covariance and are thus not estimated), `UVioManager.cpp:
+    207-306`;
+  * `feed_measurement_uwb` buffering with gates (VIO initialized,
+    anchors initialized, min-distance, out-of-order drop),
+    `UVioManager.cpp:61-76`;
+  * drain of buffered ranges older than the image time *before* the
+    visual update, each range applied by propagate-to-timestamp WITHOUT
+    cloning (`UVioPropagator`) + per-range chi2-gated single update
+    (`do_uwb_propagate_update`, `UVioManager.cpp:308-344`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filter.propagator import propagate_mean_cov, select_imu_readings_np
+from .manager import VioConfig, VioManager
+from .types.layout import StateLayout
+from .types.state import init_state
+from .update.uwb import uwb_update
+
+
+@dataclasses.dataclass
+class AnchorConfig:
+    anchor_id: int
+    p_AinG: np.ndarray
+    gamma: float = 0.0  # constant range bias
+    alpha: float = 0.0  # distance-proportional bias
+    fix: bool = False  # fixed anchors are not estimated
+    prior_cov: Optional[np.ndarray] = None  # (5,5); None -> default diag
+
+
+@dataclasses.dataclass
+class UVioConfig(VioConfig):
+    max_anchors: int = 8
+    anchors: List[AnchorConfig] = dataclasses.field(default_factory=list)
+    sigma_range: float = 0.1
+    uwb_chi2_mult: float = 1.0
+    min_dist_to_use_uwb: float = 0.0
+    calib_uwb_extrinsics: bool = False
+    p_IinU: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    p_IinU_prior_std: float = 0.03
+
+
+class UVioManager(VioManager):
+    def __init__(self, cfg: UVioConfig):
+        self.ucfg = cfg
+        super().__init__(cfg)
+        # rebuild layout with anchors + uwb extrinsic
+        self.layout = StateLayout(
+            max_clones=cfg.max_clones + 1,
+            max_slam=cfg.max_slam,
+            max_anchors=cfg.max_anchors,
+            num_cams=len(cfg.cameras),
+            calib_cam_timeoffset=cfg.calib_cam_timeoffset,
+            calib_cam_pose=cfg.calib_cam_pose,
+            calib_cam_intrinsics=cfg.calib_cam_intrinsics,
+            calib_uwb_extrinsics=cfg.calib_uwb_extrinsics,
+            max_imu_batch=cfg.max_imu_batch,
+        )
+        # re-init state and re-jit against the new layout
+        self._rejit()
+        s = init_state(self.layout)
+        s = s.replace(
+            calib_cam_q=self.state.calib_cam_q,
+            calib_cam_p=self.state.calib_cam_p,
+            calib_cam_intr=self.state.calib_cam_intr,
+            uwb_p_IinU=jnp.asarray(cfg.p_IinU),
+        )
+        self.state = s
+        self.anchor_slot_by_id: Dict[int, int] = {}
+        self.uwb_buffer: List = []  # (t, {aid: dist})
+        self._last_uwb_t = -np.inf
+        self.anchors_initialized = False
+        self._jit_uwb = jax.jit(
+            partial(
+                uwb_update,
+                layout=self.layout,
+                sigma_range=cfg.sigma_range,
+                chi2_mult=cfg.uwb_chi2_mult,
+            )
+        )
+        self._jit_prop_only = jax.jit(
+            partial(
+                propagate_mean_cov,
+                layout=self.layout,
+                noises=cfg.noises,
+                gravity_mag=cfg.gravity_mag,
+            )
+        )
+        if cfg.anchors:
+            self.initialize_anchors(cfg.anchors)
+
+    def _rejit(self):
+        """Rebuild jitted pipeline closures against self.layout."""
+        from .filter.ekf import marginalize_clone, marginalize_slam
+        from .filter.propagator import propagate_and_clone
+        from .update.msckf import msckf_update
+        from .update.slam import slam_delayed_init, slam_update
+
+        cfg = self.cfg
+        cam_model = cfg.cameras[0].model
+        self._jit_prop = jax.jit(
+            partial(propagate_and_clone, layout=self.layout, noises=cfg.noises,
+                    gravity_mag=cfg.gravity_mag)
+        )
+        self._jit_msckf = jax.jit(
+            partial(msckf_update, layout=self.layout, cam_model=cam_model,
+                    sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
+        )
+        self._jit_marg = jax.jit(partial(marginalize_clone, layout=self.layout))
+        if cfg.max_slam > 0:
+            self._jit_slam_up = jax.jit(
+                partial(slam_update, layout=self.layout, cam_model=cam_model,
+                        sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
+            )
+            self._jit_slam_init = jax.jit(
+                partial(slam_delayed_init, layout=self.layout, cam_model=cam_model,
+                        sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
+            )
+            self._jit_marg_slam = jax.jit(partial(marginalize_slam, layout=self.layout))
+
+    # ------------------------------------------------------------------
+    def initialize_anchors(self, anchors: List[AnchorConfig]):
+        """Insert anchors with prior covariance (initialize_new_uwb_anchor
+        equivalent; supports late additions for runtime-initialized
+        anchors, `UVioManager.cpp:78-112`)."""
+        from .filter.ekf import set_block_covariance
+
+        st = self.state
+        cov = st.cov
+        for a in anchors:
+            if a.anchor_id in self.anchor_slot_by_id:
+                continue
+            slot = len(self.anchor_slot_by_id)
+            if slot >= self.ucfg.max_anchors:
+                raise ValueError("more anchors than max_anchors slots")
+            self.anchor_slot_by_id[a.anchor_id] = slot
+            st = st.replace(
+                anchors_p=st.anchors_p.at[slot].set(jnp.asarray(a.p_AinG)),
+                anchors_gamma=st.anchors_gamma.at[slot].set(a.gamma),
+                anchors_alpha=st.anchors_alpha.at[slot].set(a.alpha),
+                anchors_valid=st.anchors_valid.at[slot].set(True),
+            )
+            if a.fix:
+                block = np.zeros((5, 5))
+            elif a.prior_cov is not None:
+                block = np.asarray(a.prior_cov)
+            else:
+                block = np.diag([0.04, 0.04, 0.04, 0.01, 1e-4])
+            cov = set_block_covariance(
+                cov, jnp.int32(self.layout.anchor_slot_off(slot)), jnp.asarray(block)
+            )
+        # uwb extrinsic prior
+        if self.ucfg.calib_uwb_extrinsics:
+            blk = np.eye(3) * self.ucfg.p_IinU_prior_std**2
+            cov = set_block_covariance(
+                cov, jnp.int32(self.layout.calib_uwb_off), jnp.asarray(blk)
+            )
+        self.state = st.replace(cov=cov)
+        self.anchors_initialized = True
+
+    # ------------------------------------------------------------------
+    def feed_uwb(self, t: float, ranges: Dict[int, float]):
+        """Buffer a range set (feed_measurement_uwb gates)."""
+        if not (self.is_initialized and self.anchors_initialized):
+            return
+        if t <= self._last_uwb_t:
+            return  # out-of-order: drop with warning semantics
+        good = {
+            aid: d
+            for aid, d in ranges.items()
+            if d > self.ucfg.min_dist_to_use_uwb and aid in self.anchor_slot_by_id
+        }
+        if good:
+            self.uwb_buffer.append((t, good))
+            self._last_uwb_t = t
+
+    # ------------------------------------------------------------------
+    def _pre_visual_update(self, t_img: float):
+        """Drain buffered UWB sets older than the image, each by
+        propagate-without-clone + per-range updates."""
+        A = self.ucfg.max_anchors
+        remaining = []
+        for (t_u, ranges) in self.uwb_buffer:
+            # strictly older than the image (UVioManager.cpp:178-188);
+            # equal-time ranges wait for the next frame
+            if t_u >= t_img:
+                remaining.append((t_u, ranges))
+                continue
+            t0 = float(self.state.time)
+            if t_u > t0:
+                tt, ww, aa = select_imu_readings_np(
+                    np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
+                    t0, t_u, self.layout.max_imu_batch,
+                )
+                self.state, _ = self._jit_prop_only(
+                    self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
+                    imu_a=jnp.asarray(aa),
+                )
+            r = np.zeros(A)
+            m = np.zeros(A, bool)
+            for aid, dist in ranges.items():
+                slot = self.anchor_slot_by_id[aid]
+                r[slot] = dist
+                m[slot] = True
+            self.state, info = self._jit_uwb(
+                self.state, ranges=jnp.asarray(r), range_mask=jnp.asarray(m)
+            )
+            self.last_uwb_info = info
+        self.uwb_buffer = remaining
