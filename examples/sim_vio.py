@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--static-init", action="store_true")
     ap.add_argument("--zupt", action="store_true")
     ap.add_argument("--uwb", action="store_true", help="UWB-aided (UVIO) mode")
+    ap.add_argument(
+        "--klt", action="store_true",
+        help="run the real KLT frontend on rendered frames instead of the sim tracker",
+    )
     ap.add_argument("--still-time", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -116,6 +120,12 @@ def main():
             sim.t_start, gt0["q_GtoI"], gt0["p_IinG"], gt0["v_IinG"], gt0["bg"], gt0["ba"]
         )
 
+    tracker = None
+    if args.klt:
+        from uvio_tpu.frontend.tracker import KLTTracker
+
+        tracker = KLTTracker(cam.intrinsics, cam.model, num_features=120, grid=(6, 8))
+
     est_t, est_q, est_p = [], [], []
     gt_q, gt_p = [], []
     cov_o, cov_p = [], []
@@ -136,6 +146,10 @@ def main():
             if rc is None:
                 break
             tc, obs = rc
+            if tracker is not None:
+                img = sim.render_image(tc)
+                ids, uvs = tracker.feed(tc, img)
+                obs = [(ids, uvs)]
             mgr.feed_features(tc, obs)
             if not mgr.is_initialized:
                 continue

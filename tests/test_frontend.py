@@ -1,0 +1,118 @@
+"""Vision frontend tests: FAST, LK, RANSAC kernels and the tracker on
+rendered simulator frames (the test_tracking.cpp analogue, with a
+quantitative oracle instead of visual inspection)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvio_tpu.frontend.klt import (
+    build_pyramid,
+    fast_score,
+    grid_detect,
+    lk_track,
+    ransac_fundamental,
+)
+from uvio_tpu.frontend.tracker import KLTTracker
+
+RNG = np.random.default_rng(8)
+
+
+def blob_image(H=120, W=160, pts=None):
+    img = np.full((H, W), 50.0, np.float32)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    if pts is None:
+        pts = [(40.0, 30.0), (100.0, 80.0), (30.5, 90.25)]
+    for (u, v) in pts:
+        img += 200.0 * np.exp(-(((xx - u) ** 2 + (yy - v) ** 2) / (2 * 1.5**2)))
+    return np.clip(img, 0, 255).astype(np.float32), pts
+
+
+def test_fast_detects_blobs():
+    img, pts = blob_image()
+    score = np.asarray(fast_score(jnp.asarray(img), 15.0))
+    for (u, v) in pts:
+        patch = score[int(v) - 3 : int(v) + 4, int(u) - 3 : int(u) + 4]
+        assert patch.max() > 0, (u, v)
+    # flat regions produce no corners
+    assert score[5:15, 120:150].max() == 0
+
+
+def test_grid_detect_occupancy():
+    img, pts = blob_image()
+    score = fast_score(jnp.asarray(img), 15.0)
+    uv, ok = grid_detect(score, 4, 4, jnp.zeros((1, 2)), jnp.zeros(1, bool))
+    uv, okn = np.asarray(uv), np.asarray(ok)
+    assert okn.sum() >= 3
+    # occupy the cell of the first blob -> it must not be re-detected
+    occ = jnp.asarray([[40.0, 30.0]])
+    uv2, ok2 = grid_detect(score, 4, 4, occ, jnp.ones(1, bool))
+    cell_w, cell_h = 160 // 4, 120 // 4
+    for i in np.nonzero(np.asarray(ok2))[0]:
+        cu, cv = np.asarray(uv2)[i]
+        assert not (int(cv) // cell_h == 30 // cell_h and int(cu) // cell_w == 40 // cell_w)
+
+
+def test_lk_recovers_translation():
+    img1, pts = blob_image()
+    shift = (3.6, -2.2)
+    img2, _ = blob_image(pts=[(u + shift[0], v + shift[1]) for (u, v) in pts])
+    pyr1 = build_pyramid(jnp.asarray(img1), 3)
+    pyr2 = build_pyramid(jnp.asarray(img2), 3)
+    uv0 = jnp.asarray(np.array(pts))
+    uv1, ok = lk_track(pyr1, pyr2, uv0, jnp.ones(len(pts), bool), half=7)
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(
+        np.asarray(uv1), np.asarray(uv0) + np.asarray(shift), atol=0.15
+    )
+
+
+def test_ransac_rejects_outliers():
+    N = 60
+    # pure-rotation-free geometry: points on a plane, two views
+    x1 = RNG.uniform(-0.4, 0.4, (N, 2))
+    # simple epipolar geometry: translation along x => v2 = v1 (rectified)
+    depth = RNG.uniform(3, 8, N)
+    x2 = x1.copy()
+    x2[:, 0] += 0.2 / depth  # disparity
+    out_idx = RNG.choice(N, 12, replace=False)
+    x2[out_idx] += RNG.uniform(0.05, 0.2, (12, 2)) * np.sign(RNG.standard_normal((12, 2)))
+    inl = ransac_fundamental(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(N, bool), jax.random.PRNGKey(1), 0.005
+    )
+    inl = np.asarray(inl)
+    assert inl.sum() >= N - 20
+    assert inl[out_idx].sum() <= 3
+
+
+@pytest.mark.slow
+def test_tracker_on_rendered_sim():
+    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
+
+    sim = Simulator(
+        SimParams(sim_freq_cam=10.0, num_pts=60, seed=3),
+        trajectory=circle_trajectory(duration=12.0),
+    )
+    cam = sim.params.cameras[0]
+    tracker = KLTTracker(cam.intrinsics, cam.model, num_features=120, grid=(6, 8))
+    lengths = {}
+    prev = {}
+    drifts = []
+    for i in range(12):
+        rc = sim.get_next_cam()
+        if rc is None:
+            break
+        t, _ = rc
+        img = sim.render_image(t)
+        ids, uvs = tracker.feed(t, img)
+        assert len(ids) >= 20, f"frame {i}: too few tracks ({len(ids)})"
+        for fid, uv in zip(ids, uvs):
+            lengths[fid] = lengths.get(fid, 0) + 1
+            if fid in prev:
+                drifts.append(np.linalg.norm(uv - prev[fid]))
+            prev[fid] = uv
+    # tracks persist across frames
+    assert max(lengths.values()) >= 8
+    # motion is smooth: typical interframe displacement bounded
+    assert np.median(drifts) < 30.0

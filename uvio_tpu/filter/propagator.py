@@ -136,6 +136,9 @@ def propagate_mean_cov(
     dtype = state.cov.dtype
     gravity = jnp.array([0.0, 0.0, gravity_mag], dtype=dtype)
     bg, ba = state.bg, state.ba
+    # time axis stays f64; compute in the state dtype
+    imu_w = imu_w.astype(dtype)
+    imu_a = imu_a.astype(dtype)
 
     q0, p0, v0 = state.q, state.p, state.v
     Rf0 = quat_to_rot(state.q_fej)
@@ -144,7 +147,7 @@ def propagate_mean_cov(
     def body(carry, inp):
         q, p, v, R_fej, p_fej, v_fej, Phi, Qd = carry
         t1, w1m, a1m, t2, w2m, a2m = inp
-        dt = t2 - t1
+        dt = (t2 - t1).astype(dtype)
         has = dt > 0
         safe_dt = jnp.where(has, dt, 1.0)
         w1, a1 = w1m - bg, a1m - ba

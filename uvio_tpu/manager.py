@@ -71,6 +71,8 @@ class VioConfig:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_cam_timeoffset: bool = False
+    # compute precision for everything except the time axis
+    dtype: str = "float64"
     # initialization
     use_static_init: bool = False
     init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
@@ -97,12 +99,15 @@ class VioManager:
             slam_rep=cfg.feat_rep_slam,
             max_imu_batch=cfg.max_imu_batch,
         )
-        s = init_state(self.layout)
+        self.dtype = getattr(jnp, cfg.dtype)
+        s = init_state(self.layout, dtype=self.dtype)
         # seed calibration values from config
         s = s.replace(
-            calib_cam_q=jnp.asarray(np.stack([c.q_ItoC for c in cfg.cameras])),
-            calib_cam_p=jnp.asarray(np.stack([c.p_IinC for c in cfg.cameras])),
-            calib_cam_intr=jnp.asarray(np.stack([c.intrinsics for c in cfg.cameras])),
+            calib_cam_q=jnp.asarray(np.stack([c.q_ItoC for c in cfg.cameras]), self.dtype),
+            calib_cam_p=jnp.asarray(np.stack([c.p_IinC for c in cfg.cameras]), self.dtype),
+            calib_cam_intr=jnp.asarray(
+                np.stack([c.intrinsics for c in cfg.cameras]), self.dtype
+            ),
         )
         self.state: FilterState = s
         self.db = FeatureDatabase()
@@ -175,14 +180,15 @@ class VioManager:
         cov[:15, :] = 0.0
         cov[:, :15] = 0.0
         cov[:15, :15] = np.diag(prior_std**2)
-        q = jnp.asarray(q_GtoI)
+        dt = self.dtype
+        q = jnp.asarray(q_GtoI, dt)
         self.state = self.state.replace(
-            time=jnp.asarray(float(t)),
+            time=jnp.asarray(float(t), jnp.float64),
             q=q, q_fej=q,
-            p=jnp.asarray(p), p_fej=jnp.asarray(p),
-            v=jnp.asarray(v), v_fej=jnp.asarray(v),
-            bg=jnp.asarray(bg), ba=jnp.asarray(ba),
-            cov=jnp.asarray(cov),
+            p=jnp.asarray(p, dt), p_fej=jnp.asarray(p, dt),
+            v=jnp.asarray(v, dt), v_fej=jnp.asarray(v, dt),
+            bg=jnp.asarray(bg, dt), ba=jnp.asarray(ba, dt),
+            cov=jnp.asarray(cov, dt),
         )
         self.is_initialized = True
 

@@ -236,6 +236,35 @@ class Simulator:
         am = accel_inI + self.true_ba + p.sigma_a / np.sqrt(dt) * self.rng_imu.standard_normal(3)
         return t, wm, am
 
+    def render_image(self, t: float, cam_idx: int = 0, blob_sigma: float = 1.2):
+        """Render a synthetic grayscale frame: map points as Gaussian
+        blobs over a smooth background (for exercising the real vision
+        frontend without camera data)."""
+        p = self.params
+        cam = p.cameras[cam_idx]
+        st = bspline.state_at_batch(
+            self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([t])
+        )
+        R_ItoC = quat_to_rot(jnp.asarray(cam.q_ItoC))
+        uv, ok = _project_map(
+            self.map_pts_j, st["R_GtoI"][0], st["p_IinG"][0], R_ItoC,
+            jnp.asarray(cam.p_IinC), jnp.asarray(cam.intrinsics),
+            jnp.asarray([cam.width, cam.height], dtype=jnp.float64), 0.1, 80.0,
+        )
+        uv = np.asarray(uv)[np.asarray(ok)]
+        H, W = cam.height, cam.width
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        img = 40.0 + 20.0 * (xx / W) + 10.0 * (yy / H)
+        for (u, v) in uv:
+            x0, x1 = max(0, int(u) - 4), min(W, int(u) + 5)
+            y0, y1 = max(0, int(v) - 4), min(H, int(v) + 5)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            gx = np.exp(-((np.arange(x0, x1) - u) ** 2) / (2 * blob_sigma**2))
+            gy = np.exp(-((np.arange(y0, y1) - v) ** 2) / (2 * blob_sigma**2))
+            img[y0:y1, x0:x1] += 180.0 * gy[:, None] * gx[None, :]
+        return np.clip(img, 0, 255).astype(np.float32)
+
     def get_next_uwb(self):
         """Noisy biased ranges to all configured anchors:
         y = (1+alpha) d + gamma + n  (uvio range model)."""

@@ -77,12 +77,17 @@ class FilterState:
 
 
 def init_state(layout: StateLayout, dtype=jnp.float64) -> FilterState:
-    """Identity-orientation zero state with zero covariance."""
+    """Identity-orientation zero state with zero covariance.
+
+    `dtype` sets the compute precision of every block EXCEPT the time
+    axis (`time`, `clones_t`), which is always f64: epoch-second
+    timestamps (EuRoC ~1.4e9) have only ~128 s resolution in f32.
+    """
     K, S, A, C = layout.max_clones, layout.max_slam, layout.max_anchors, layout.num_cams
     q0 = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
     z3 = jnp.zeros(3, dtype=dtype)
     return FilterState(
-        time=jnp.array(-1.0, dtype=dtype),
+        time=jnp.array(-1.0, dtype=jnp.float64),
         q=q0,
         p=z3,
         v=z3,
@@ -95,7 +100,7 @@ def init_state(layout: StateLayout, dtype=jnp.float64) -> FilterState:
         clones_p=jnp.zeros((K, 3), dtype=dtype),
         clones_q_fej=jnp.tile(q0, (K, 1)),
         clones_p_fej=jnp.zeros((K, 3), dtype=dtype),
-        clones_t=jnp.full((K,), -1.0, dtype=dtype),
+        clones_t=jnp.full((K,), -1.0, dtype=jnp.float64),
         clones_valid=jnp.zeros((K,), dtype=bool),
         clone_head=jnp.array(-1, dtype=jnp.int32),
         slam_p=jnp.zeros((S, 3), dtype=dtype),

@@ -126,25 +126,40 @@ def feature_system(
     H_p = jnp.einsum("fkcab,fkcbe->fkcae", Hcam, jnp.broadcast_to(dpc_dp, Hcam.shape[:3] + (3, 3)))
     H_f = jnp.einsum("fkcab,fkcbe->fkcae", Hcam, jnp.broadcast_to(dpc_df, Hcam.shape[:3] + (3, 3)))
 
-    # assemble H_x (F,K,C,2,D) sparsely via scatter into zeros
-    Hx = jnp.zeros((F, K, C, 2, D), dtype)
-    # clone columns: for slot k at clone_off+6k (theta), +3 (pos)
-    for k in range(K):
-        off = L.clone_off + 6 * k
-        Hx = Hx.at[:, k, :, :, off : off + 3].set(H_th[:, k])
-        Hx = Hx.at[:, k, :, :, off + 3 : off + 6].set(H_p[:, k])
+    # assemble H_x (F,K,C,2,D) by concatenating layout-ordered column
+    # blocks (imu | calib | clones | slam | anchors); per-slot/per-cam
+    # placement is a one-hot einsum — one fused op instead of an
+    # unrolled update chain (matters for TPU compile time)
+    lead = (F, K, C, 2)
+    blocks = [jnp.zeros(lead + (15,), dtype)]  # imu columns (no direct dep)
+    if L.calib_cam_timeoffset:
+        blocks.append(jnp.zeros(lead + (1,), dtype))
     if L.calib_cam_pose:
-        # error on q_ItoC, p_IinC: d p_FinC/d th_C = [p_FinC - p_IinC]_x, d/d p_IinC = I
-        sk_c = skew(p_FinC - p_IinC[None, None])  # (F,K,C,3,3) at current est? FEJ: use fej leg
+        # error on q_ItoC, p_IinC: d p_FinC/d th_C = [p_FinC - p_IinC]_x,
+        # d/d p_IinC = I
+        sk_c = skew(p_FinC - p_IinC[None, None])  # (F,K,C,3,3)
         H_thc = jnp.einsum("fkcab,fkcbe->fkcae", Hcam, sk_c)
-        for c in range(C):
-            offe = L.calib_cam_pose_off + 6 * c
-            Hx = Hx.at[:, :, c, :, offe : offe + 3].set(H_thc[:, :, c])
-            Hx = Hx.at[:, :, c, :, offe + 3 : offe + 6].set(Hcam[:, :, c])
+        H_ext = jnp.concatenate([H_thc, Hcam], axis=-1)  # (F,K,C,2,6)
+        eyeC = jnp.eye(C, dtype=dtype)
+        blocks.append(
+            jnp.einsum("fkcre,cd->fkcrde", H_ext, eyeC).reshape(lead + (6 * C,))
+        )
     if L.calib_cam_intrinsics:
-        for c in range(C):
-            offi = L.calib_cam_intr_off + 8 * c
-            Hx = Hx.at[:, :, c, :, offi : offi + 8].set(J_calib[:, :, c])
+        eyeC = jnp.eye(C, dtype=dtype)
+        blocks.append(
+            jnp.einsum("fkcre,cd->fkcrde", J_calib, eyeC).reshape(lead + (8 * C,))
+        )
+    if L.calib_uwb_extrinsics:
+        blocks.append(jnp.zeros(lead + (3,), dtype))  # no visual dependence
+    H_clone = jnp.concatenate([H_th, H_p], axis=-1)  # (F,K,C,2,6)
+    eyeK = jnp.eye(K, dtype=dtype)
+    blocks.append(
+        jnp.einsum("fkcre,kj->fkcrje", H_clone, eyeK).reshape(lead + (6 * K,))
+    )
+    tail = L.dim - L.slam_off
+    if tail > 0:
+        blocks.append(jnp.zeros(lead + (tail,), dtype))
+    Hx = jnp.concatenate(blocks, axis=-1)
 
     M = K * C * 2
     row_mask = jnp.broadcast_to(obs_mask[..., None], obs_mask.shape + (2,))
@@ -247,6 +262,7 @@ def msckf_update(
     """
     L = layout
     K, C = L.max_clones, L.num_cams
+    obs_uv = obs_uv.astype(state.cov.dtype)
     # undistort obs to normalized coords for triangulation
     uvn_obs = jnp.stack(
         [

@@ -14,9 +14,9 @@ TPU-native equivalent of `ov_msckf/src/update/UpdaterSLAM.{h,cpp}`:
     nullspace projection). chi2 failures are reported so the manager
     can count them toward marginalization (update_fail_count).
 
-Landmark representation: GLOBAL_3D (the reference supports 6; global-3d
-needs no anchor-change machinery — `UpdaterSLAM::change_anchors` is a
-no-op for it).
+Landmark representations: GLOBAL_3D and ANCHORED_MSCKF_INVERSE_DEPTH
+(the reference's shipped default), via update/representations.py —
+including the anchor-pose Jacobian terms and anchor changes.
 
 Slot alignment: the SLAM obs tensor is indexed by *slam slot* (S,K,C,2),
 so landmark columns are static offsets; candidates carry explicit slot
@@ -60,6 +60,7 @@ def slam_update(
     aligned to slam slots; invalid slots must be masked out."""
     L = layout
     S, K, C, D = L.max_slam, L.max_clones, L.num_cams, L.dim
+    obs_uv = obs_uv.astype(state.cov.dtype)
     obs_mask = obs_mask & state.slam_valid[:, None, None]
 
     # representation -> global positions + FEJ chain pieces
@@ -68,11 +69,12 @@ def slam_update(
         state, L, cam_model, p_glob, p_glob, obs_uv, obs_mask, sigma_pix
     )
     M = Hx.shape[1]
-    # landmark columns: chain through the representation
+    # landmark columns: chain through the representation; one-hot einsum
+    # places each landmark's block into its own slot columns
     H_f = jnp.einsum("smj,sjk->smk", H_fG, J_rep)
-    for s in range(S):
-        off = L.slam_slot_off(s)
-        Hx = Hx.at[s, :, off : off + 3].set(H_f[s])
+    eyeS = jnp.eye(S, dtype=Hx.dtype)
+    slam_block = jnp.einsum("smj,st->smtj", H_f, eyeS).reshape(S, M, 3 * S)
+    Hx = Hx.at[:, :, L.slam_off : L.slam_off + 3 * S].set(slam_block)
     # anchor-pose columns: d h/d p_FinG @ d p_FinG/d(anchor clone)
     # (UpdaterHelper.cpp:100-112 H_anc — included for ALL anchored reps)
     if L.slam_rep != GLOBAL_3D:
@@ -127,6 +129,7 @@ def slam_delayed_init(
     """
     L = layout
     Fc, K, C, D = obs_uv.shape[0], L.max_clones, L.num_cams, L.dim
+    obs_uv = obs_uv.astype(state.cov.dtype)
 
     # triangulate candidates
     uvn_obs = jnp.stack(

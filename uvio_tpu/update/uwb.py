@@ -98,6 +98,7 @@ def uwb_update(
     L = layout
     A = L.max_anchors
     dtype = state.cov.dtype
+    ranges = ranges.astype(dtype)
 
     def body(st, inp):
         a_idx, y, valid = inp

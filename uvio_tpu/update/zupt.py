@@ -44,6 +44,8 @@ def zupt_try_update(
     L = layout
     D = L.dim
     dtype = state.cov.dtype
+    imu_w = imu_w.astype(dtype)
+    imu_a = imu_a.astype(dtype)
     M = imu_t.shape[0]
     dts = jnp.diff(imu_t)
     valid = dts > 0
