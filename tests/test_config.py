@@ -1,0 +1,72 @@
+"""Config loader tests against the reference's shipped config dirs."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from uvio_tpu.math import quat_to_rot
+from uvio_tpu.utils import load_config
+
+REF = "/root/reference/config"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_load_euroc():
+    cfg, extras = load_config(os.path.join(REF, "euroc_mav"))
+    assert cfg.max_clones == 11
+    assert cfg.max_slam == 50
+    assert cfg.calib_cam_pose and cfg.calib_cam_intrinsics and cfg.calib_cam_timeoffset
+    assert len(cfg.cameras) == 2
+    cam0 = cfg.cameras[0]
+    np.testing.assert_allclose(cam0.intrinsics[:4], [458.654, 457.296, 367.215, 248.375])
+    # T_imu_cam round trip: R_ItoC R_CtoI = I and p math consistent
+    R_ItoC = np.asarray(quat_to_rot(jnp.asarray(cam0.q_ItoC)))
+    T = np.array(
+        [
+            [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975],
+            [0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768],
+            [-0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949],
+        ]
+    )
+    np.testing.assert_allclose(R_ItoC, T[:3, :3].T, atol=1e-6)
+    np.testing.assert_allclose(cam0.p_IinC, -T[:3, :3].T @ T[:3, 3], atol=1e-9)
+    assert cfg.noises.sigma_w == pytest.approx(1.6968e-4)
+    assert extras["num_pts"] == 200
+    assert extras["use_stereo"] is True
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_load_uvio():
+    from uvio_tpu.uwb_manager import UVioConfig
+
+    cfg, extras = load_config(os.path.join(REF, "iros_2023_uvio"))
+    assert isinstance(cfg, UVioConfig)
+    np.testing.assert_allclose(cfg.p_IinU, [-0.01, 0.01, 0.05])  # -p_UinI
+    assert cfg.sigma_range == pytest.approx(0.5)
+    assert cfg.min_dist_to_use_uwb == pytest.approx(0.5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_load_tumvi_fisheye():
+    from uvio_tpu.cam import EQUI
+
+    cfg, extras = load_config(os.path.join(REF, "tum_vi"))
+    assert cfg.cameras[0].model == EQUI
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_manager_builds_from_each_config():
+    from uvio_tpu.manager import VioManager
+    from uvio_tpu.uwb_manager import UVioConfig, UVioManager
+
+    for name in ["euroc_mav", "iros_2023_uvio"]:
+        cfg, _ = load_config(os.path.join(REF, name))
+        # cap state sizes for test speed
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_slam=min(cfg.max_slam, 5), max_clones=5)
+        mgr = UVioManager(cfg) if isinstance(cfg, UVioConfig) else VioManager(cfg)
+        assert mgr.layout.dim > 15
