@@ -31,6 +31,8 @@ def main():
     )
     ap.add_argument("--still-time", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--record", type=str, default=None,
+                    help="directory to write est.txt/gt.txt TUM trajectories")
     args = ap.parse_args()
 
     if args.cpu:
@@ -172,6 +174,15 @@ def main():
     wall = time.time() - t_wall0
 
     est_t = np.asarray(est_t)
+    if args.record:
+        import os as _os
+
+        from uvio_tpu.eval import save_tum
+
+        _os.makedirs(args.record, exist_ok=True)
+        save_tum(_os.path.join(args.record, "est.txt"), est_t, np.asarray(est_q), np.asarray(est_p))
+        save_tum(_os.path.join(args.record, "gt.txt"), est_t, np.asarray(gt_q), np.asarray(gt_p))
+        print(f"recorded TUM trajectories to {args.record}/")
     # self-initialized runs define their own origin/yaw: align with posyaw
     # (the observability-aware alignment the reference defaults to)
     method = "posyaw" if args.static_init else "none"

@@ -146,3 +146,15 @@ def load_tum(path):
     """TUM file: t x y z qx qy qz qw -> (t, q, p)."""
     d = np.loadtxt(path, comments="#")
     return d[:, 0], d[:, 4:8], d[:, 1:4]
+
+
+def save_tum(path, t, q, p):
+    """Write a TUM trajectory (the reference's recording format,
+    `ROS1Visualizer.cpp:117-143` / `Recorder.h`)."""
+    with open(path, "w") as f:
+        f.write("# timestamp(s) tx ty tz qx qy qz qw\n")
+        for i in range(len(t)):
+            f.write(
+                f"{t[i]:.9f} {p[i,0]:.9f} {p[i,1]:.9f} {p[i,2]:.9f} "
+                f"{q[i,0]:.9f} {q[i,1]:.9f} {q[i,2]:.9f} {q[i,3]:.9f}\n"
+            )
