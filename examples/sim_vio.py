@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--num-pts", type=int, default=50)
     ap.add_argument("--max-slam", type=int, default=0)
     ap.add_argument("--static-init", action="store_true")
+    ap.add_argument("--dynamic-init", action="store_true")
     ap.add_argument("--zupt", action="store_true")
     ap.add_argument("--uwb", action="store_true", help="UWB-aided (UVIO) mode")
     ap.add_argument(
@@ -96,6 +97,7 @@ def main():
             max_msckf_in_update=40,
             max_slam=args.max_slam,
             use_static_init=args.static_init,
+            use_dynamic_init=args.dynamic_init,
             try_zupt=args.zupt,
             sigma_pix=sim.params.sigma_pix,
             cameras=cam_cfgs,
@@ -110,13 +112,14 @@ def main():
             max_msckf_in_update=40,
             max_slam=args.max_slam,
             use_static_init=args.static_init,
+            use_dynamic_init=args.dynamic_init,
             try_zupt=args.zupt,
             sigma_pix=sim.params.sigma_pix,
             cameras=cam_cfgs,
         )
         mgr = VioManager(cfg)
 
-    if not args.static_init:
+    if not (args.static_init or args.dynamic_init):
         gt0 = sim.get_gt_state(sim.t_start)
         mgr.initialize_with_gt(
             sim.t_start, gt0["q_GtoI"], gt0["p_IinG"], gt0["v_IinG"], gt0["bg"], gt0["ba"]
@@ -185,7 +188,7 @@ def main():
         print(f"recorded TUM trajectories to {args.record}/")
     # self-initialized runs define their own origin/yaw: align with posyaw
     # (the observability-aware alignment the reference defaults to)
-    method = "posyaw" if args.static_init else "none"
+    method = "posyaw" if (args.static_init or args.dynamic_init) else "none"
     res = ate(
         est_t,
         np.asarray(est_q),
@@ -195,7 +198,7 @@ def main():
         np.asarray(gt_p),
         method=method,
     )
-    if args.static_init:
+    if args.static_init or args.dynamic_init:
         n_o = n_p = np.array([np.nan])  # NEES needs a shared frame (gt init)
     else:
         n_o, n_p = nees(

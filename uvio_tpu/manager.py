@@ -36,6 +36,7 @@ from .filter.propagator import (
 )
 from .filter.ekf import marginalize_slam
 from .frontend.database import FeatureDatabase
+from .init.dynamic_init import DynamicInitOptions
 from .init.static_init import StaticInitOptions, try_static_init
 from .update.zupt import zupt_try_update
 from .types.layout import StateLayout
@@ -77,6 +78,8 @@ class VioConfig:
     use_static_init: bool = False
     init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
     init_max_disparity: float = 10.0  # px, stillness check for no-jerk init
+    use_dynamic_init: bool = False  # init_dyn_use
+    dyn_init_options: "DynamicInitOptions" = None  # defaults applied in ctor
     # zero-velocity update
     try_zupt: bool = False
     zupt_chi2_mult: float = 1.0
@@ -216,6 +219,128 @@ class VioManager:
         self.db.cleanup_older_than(res.time + 1e-9)
         return True
 
+    def _try_dynamic_init(self, t: float) -> bool:
+        """In-motion initialization (InertialInitializer dynamic path):
+        gather the last `num_pose` frame times + feature tracks + IMU
+        slices, run the shooting-MLE, gate on reprojection rmse."""
+        from .cam import models as cam_models
+        from .init.dynamic_init import result_to_state, solve_dynamic_init
+        from .math import quat_to_rot
+
+        opts = self.cfg.dyn_init_options or DynamicInitOptions()
+        # frame times observed so far (from the db)
+        all_times = sorted({tt for f in self.db.features.values() for tt in f.times()})
+        if len(all_times) < opts.num_pose:
+            return False
+        span = self.cfg.init_options.window_time
+        pose_times = [tt for tt in all_times if tt >= t - span]
+        if len(pose_times) < opts.num_pose:
+            return False
+        # demand most of the window to be filled: short spans let the
+        # biases absorb arbitrary error while still fitting reprojection
+        if pose_times[-1] - pose_times[0] < 0.75 * span:
+            return False
+        idx = np.linspace(0, len(pose_times) - 1, opts.num_pose).astype(int)
+        pose_times = [pose_times[i] for i in sorted(set(idx))]
+        if len(pose_times) < opts.num_pose:
+            return False
+        if not self._imu_t or self._imu_t[0] > pose_times[0]:
+            return False
+        P = opts.num_pose
+        M = self.layout.max_imu_batch * 4
+        imu_t = np.zeros((P - 1, M))
+        imu_w = np.zeros((P - 1, M, 3))
+        imu_a = np.zeros((P - 1, M, 3))
+        try:
+            for i in range(P - 1):
+                tt, ww, aa = select_imu_readings_np(
+                    np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
+                    pose_times[i], pose_times[i + 1], M,
+                )
+                imu_t[i], imu_w[i], imu_a[i] = tt, ww, aa
+        except (ValueError, AssertionError):
+            return False
+        # feature tracks at those pose times (cam 0), undistorted
+        cam = self.cfg.cameras[0]
+        F = opts.max_features
+        obs = np.zeros((F, P, 2))
+        mask = np.zeros((F, P), bool)
+        count = 0
+        for f in self.db.features.values():
+            lst = f.obs.get(0, [])
+            by_t = {o[0]: (o[1], o[2]) for o in lst}
+            hits = [p for p, pt in enumerate(pose_times) if pt in by_t]
+            if len(hits) < P - 1:
+                continue
+            for p in hits:
+                obs[count, p] = by_t[pose_times[p]]
+                mask[count, p] = True
+            count += 1
+            if count == F:
+                break
+        if count < opts.min_features:
+            return False
+        uvn = np.array(
+            cam_models.undistort(
+                jnp.asarray(cam.intrinsics), cam.model, jnp.asarray(obs.reshape(-1, 2))
+            )
+        ).reshape(F, P, 2)
+        uvn[~mask] = 0.0
+        R_ItoC = np.asarray(quat_to_rot(jnp.asarray(cam.q_ItoC)))
+        out = solve_dynamic_init(
+            jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
+            jnp.asarray(uvn), jnp.asarray(mask),
+            jnp.asarray(R_ItoC), jnp.asarray(cam.p_IinC), opts,
+        )
+        if float(out["rmse_norm"]) > opts.max_reproj_rmse:
+            return False
+        # bias plausibility gates (an init that "explains" motion with a
+        # huge accel bias is overfit, not initialized)
+        p_sol = out["params"]
+        if float(jnp.linalg.norm(p_sol["ba"])) > 0.5 or float(
+            jnp.linalg.norm(p_sol["bg"])
+        ) > 0.1:
+            return False
+        from .init.dynamic_init import result_to_state_first
+
+        st = result_to_state_first(out["params"], opts)
+        st["time"] = pose_times[0]
+        prior_std = np.concatenate(
+            [
+                np.full(2, 0.10),  # roll/pitch (gravity estimate quality)
+                np.full(1, 1e-4),  # yaw pinned (frame definition)
+                np.full(3, 1e-4),  # position (origin definition)
+                np.full(3, 0.30),  # velocity
+                np.full(3, 0.05),
+                np.full(3, 0.20),
+            ]
+        )
+        self.initialize_with_gt(
+            st["time"], st["q_GtoI"], st["p"], st["v"], st["bg"], st["ba"],
+            prior_std=prior_std,
+        )
+        # replay the window: clone at the first pose, then fast-forward
+        # propagate+clone through the remaining pose times so the filter
+        # starts with a full, well-conditioned clone window
+        # (VioManagerHelper.cpp:111-166)
+        if not hasattr(self, "_jit_clone_only"):
+            from .filter.ekf import augment_clone
+
+            self._jit_clone_only = jax.jit(partial(augment_clone, layout=self.layout))
+        self.state = self._jit_clone_only(self.state, w_hat=jnp.zeros(3, self.dtype))
+        K = self.layout.max_clones
+        self._head = 0 if self._head < 0 else (self._head + 1) % K
+        self.slot_times[self._head] = pose_times[0]
+        # replay every frame time in the window (consecutive frames keep
+        # IMU slices within max_imu_batch), marginalizing as we go
+        replay = [tt for tt in all_times if pose_times[0] < tt <= t]
+        for pt in replay:
+            self._propagate_clone(pt)
+            self._marginalize(pt)
+        # drop observations older than the window start; keep the rest
+        self.db.cleanup_older_than(pose_times[0] - 1e-9)
+        return True
+
     def _try_zupt(self, t: float) -> bool:
         """IMU+disparity zero-velocity test; True = motion frozen."""
         if self.cfg.zupt_only_at_beginning and getattr(self, "_has_moved", False):
@@ -295,6 +420,13 @@ class VioManager:
         self._imu_t.append(float(t))
         self._imu_w.append(np.asarray(w))
         self._imu_a.append(np.asarray(a))
+        if not self.is_initialized:
+            # bound the pre-init buffer to ~3 init windows
+            horizon = 3.0 * self.cfg.init_options.window_time
+            while self._imu_t and self._imu_t[0] < t - horizon:
+                self._imu_t.pop(0)
+                self._imu_w.pop(0)
+                self._imu_a.pop(0)
 
     # ------------------------------------------------------------------
     def feed_features(self, t: float, cam_obs: List[Tuple[np.ndarray, np.ndarray]]):
@@ -307,8 +439,10 @@ class VioManager:
             for i, fid in enumerate(ids):
                 self.db.update_feature(int(fid), t, cam, float(uvs[i, 0]), float(uvs[i, 1]))
         if not self.is_initialized:
-            if self.cfg.use_static_init:
-                self._try_static_init()
+            if self.cfg.use_static_init and self._try_static_init():
+                return
+            if self.cfg.use_dynamic_init:
+                self._try_dynamic_init(t)
             return
         if t <= float(self.state.time):
             return  # out-of-order frame: drop (reference warns+drops)

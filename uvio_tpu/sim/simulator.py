@@ -69,6 +69,7 @@ def circle_trajectory(
     height_amp: float = 0.6,
     hz: float = 20.0,
     still_time: float = 0.0,
+    lap_s: float = 20.0,
 ):
     """Procedural smooth trajectory (standalone alternative to the
     reference's `ov_data/sim` files): a circle with vertical bobbing and
@@ -83,7 +84,7 @@ def circle_trajectory(
         ramp = np.where(phase < 2.0, phase**2 / 4.0, phase - 1.0)
     else:
         ramp = t
-    th = 2.0 * np.pi * ramp / 20.0  # one lap per 20 s
+    th = 2.0 * np.pi * ramp / lap_s
     p = np.stack(
         [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2.2 * th)], axis=1
     )

@@ -124,6 +124,7 @@ def load_config(config_path: str):
             gravity_mag=float(cfg.get("gravity_mag", 9.81)),
         ),
         init_max_disparity=float(cfg.get("init_max_disparity", 10.0)),
+        use_dynamic_init=bool(cfg.get("init_dyn_use", False)),
     )
 
     extras = {
