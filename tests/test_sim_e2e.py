@@ -85,3 +85,58 @@ def test_slam_improves_accuracy():
     r1 = ate(est1["t"], est1["q"], est1["p"], est1["t"], gt1["q"], gt1["p"], method="none")
     assert r1["rmse_pos"] < r0["rmse_pos"] * 1.1  # SLAM at least as good
     assert r1["rmse_pos"] < 0.15
+
+
+@pytest.mark.slow
+def test_stereo_beats_mono():
+    """Stereo baseline gives metric scale: must outperform mono."""
+    from uvio_tpu.sim import SimCamera
+
+    def run_stereo(duration=10.0, seed=21):
+        cams = [SimCamera(), SimCamera(p_IinC=np.array([-0.11, 0.0, 0.0]))]
+        sim = Simulator(
+            SimParams(seed=seed, cameras=cams),
+            trajectory=circle_trajectory(duration=duration + 6.0),
+        )
+        cfgs = [
+            CameraConfig(
+                model=c.model, intrinsics=c.intrinsics, q_ItoC=c.q_ItoC, p_IinC=c.p_IinC
+            )
+            for c in cams
+        ]
+        cfg = VioConfig(max_clones=11, sigma_pix=1.0, cameras=cfgs)
+        mgr = VioManager(cfg)
+        g0 = sim.get_gt_state(sim.t_start)
+        mgr.initialize_with_gt(
+            sim.t_start, g0["q_GtoI"], g0["p_IinG"], g0["v_IinG"], g0["bg"], g0["ba"]
+        )
+        est = {"t": [], "q": [], "p": []}
+        gts = {"q": [], "p": []}
+        while sim.ok():
+            r = sim.get_next_imu()
+            if r is None:
+                break
+            t, wm, am = r
+            mgr.feed_imu(t, wm, am)
+            if sim.cur_cam_t + 0.1 <= t:
+                rc = sim.get_next_cam()
+                if rc is None:
+                    break
+                tc, obs = rc
+                mgr.feed_features(tc, obs)
+                est["t"].append(tc)
+                est["q"].append(np.asarray(mgr.state.q))
+                est["p"].append(np.asarray(mgr.state.p))
+                g = sim.get_gt_state(tc)
+                gts["q"].append(g["q_GtoI"])
+                gts["p"].append(g["p_IinG"])
+            if est["t"] and est["t"][-1] - sim.t_start > duration:
+                break
+        return ate(
+            np.asarray(est["t"]), np.asarray(est["q"]), np.asarray(est["p"]),
+            np.asarray(est["t"]), np.asarray(gts["q"]), np.asarray(gts["p"]),
+            method="none",
+        )
+
+    res = run_stereo()
+    assert res["rmse_pos"] < 0.08, res["rmse_pos"]

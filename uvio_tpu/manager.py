@@ -122,6 +122,8 @@ class VioManager:
         # host mirror: clone slot -> timestamp
         self.slot_times: Dict[int, float] = {}
         self._head = -1
+        self.last_timing = None
+        self._timing_file = None
 
         self._jit_prop = jax.jit(
             partial(propagate_and_clone, layout=self.layout, noises=cfg.noises,
@@ -449,12 +451,41 @@ class VioManager:
         if self.cfg.try_zupt and self._try_zupt(t):
             self._last_frame_t = t
             return  # motion frozen: no clone, no visual update this frame
+        import time as _time
+
+        t0 = _time.perf_counter()
         self._pre_visual_update(t)
+        t1 = _time.perf_counter()
         self._propagate_clone(t)
+        jax.block_until_ready(self.state.cov)
+        t2 = _time.perf_counter()
         self._msckf_step(t)
+        jax.block_until_ready(self.state.cov)
+        t3 = _time.perf_counter()
         if self.cfg.max_slam > 0:
             self._slam_step(t)
+            jax.block_until_ready(self.state.cov)
+        t4 = _time.perf_counter()
         self._marginalize(t)
+        t5 = _time.perf_counter()
+        # per-stage wall times (the reference's timing CSV,
+        # VioManager.cpp:604-644); seconds per stage
+        self.last_timing = {
+            "timestamp": t,
+            "uwb": t1 - t0,
+            "propagation": t2 - t1,
+            "msckf": t3 - t2,
+            "slam": t4 - t3,
+            "marginalization": t5 - t4,
+            "total": t5 - t0,
+        }
+        if self._timing_file is not None:
+            row = self.last_timing
+            self._timing_file.write(
+                f"{row['timestamp']:.9f},{row['uwb']:.6f},{row['propagation']:.6f},"
+                f"{row['msckf']:.6f},{row['slam']:.6f},{row['marginalization']:.6f},"
+                f"{row['total']:.6f}\n"
+            )
         self._last_frame_t = t
 
     # ------------------------------------------------------------------
@@ -658,6 +689,15 @@ class VioManager:
             # drop observations at (and before) the marginalized time —
             # their clone no longer exists
             self.db.cleanup_older_than(marg_t + 1e-9)
+
+    # ------------------------------------------------------------------
+    def record_timing(self, path: str):
+        """Start recording per-stage timing rows to a CSV
+        (record_timing_information / record_timing_filepath)."""
+        self._timing_file = open(path, "w")
+        self._timing_file.write(
+            "# timestamp,uwb,propagation,msckf,slam,marginalization,total\n"
+        )
 
     # ------------------------------------------------------------------
     def get_pose(self):
