@@ -116,3 +116,57 @@ def test_tracker_on_rendered_sim():
     assert max(lengths.values()) >= 8
     # motion is smooth: typical interframe displacement bounded
     assert np.median(drifts) < 30.0
+
+
+def textured_image(H=160, W=200, shift=(0, 0), seed=4):
+    """Deterministic smooth random texture (distinctive local patches,
+    unlike identical Gaussian blobs which defeat the ratio test)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (H // 4 + 8, W // 4 + 8)).astype(np.float32)
+    import jax.scipy.signal as jss
+
+    up = np.kron(base, np.ones((4, 4), np.float32))
+    # integer shift by rolling (subpixel handled by the matcher's patch)
+    up = np.roll(up, (int(shift[1]), int(shift[0])), axis=(0, 1))
+    return up[:H, :W]
+
+
+def test_descriptor_matching():
+    from uvio_tpu.frontend.descriptor import describe, hamming_match
+
+    img = textured_image()
+    pts = [(60.0, 60.0), (140.0, 100.0), (90.0, 40.0)]
+    uv = jnp.asarray(np.array(pts))
+    d1, ok1 = describe(jnp.asarray(img), uv, jnp.ones(3, bool))
+    assert bool(jnp.all(ok1))
+    shift = (4, -3)
+    img2 = textured_image(shift=shift)
+    uv2 = uv + jnp.asarray(np.array(shift, np.float64))
+    d2, ok2 = describe(jnp.asarray(img2), uv2, jnp.ones(3, bool))
+    m = hamming_match(d1, ok1, d2, ok2)
+    np.testing.assert_array_equal(np.asarray(m), [0, 1, 2])
+
+
+@pytest.mark.slow
+def test_descriptor_tracker_on_rendered_sim():
+    from uvio_tpu.frontend.descriptor import DescriptorTracker
+    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
+
+    sim = Simulator(
+        SimParams(sim_freq_cam=10.0, num_pts=60, seed=3),
+        trajectory=circle_trajectory(duration=10.0),
+    )
+    cam = sim.params.cameras[0]
+    tracker = DescriptorTracker(cam.intrinsics, cam.model, grid=(6, 8))
+    lengths = {}
+    for i in range(8):
+        rc = sim.get_next_cam()
+        if rc is None:
+            break
+        t, _ = rc
+        img = sim.render_image(t)
+        ids, uvs = tracker.feed(t, img)
+        assert len(ids) >= 15, f"frame {i}: {len(ids)} tracks"
+        for fid in ids:
+            lengths[fid] = lengths.get(fid, 0) + 1
+    assert max(lengths.values()) >= 6  # persistent tracks across frames

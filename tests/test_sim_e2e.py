@@ -140,3 +140,57 @@ def test_stereo_beats_mono():
 
     res = run_stereo()
     assert res["rmse_pos"] < 0.08, res["rmse_pos"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rep", [0, 1, 2, 3])
+def test_slam_representations(rep):
+    """All four landmark representations run end-to-end with bounded error."""
+    import dataclasses
+
+    def run_rep():
+        sim = Simulator(
+            SimParams(sim_freq_imu=200.0, sim_freq_cam=10.0, num_pts=50, seed=7),
+            trajectory=circle_trajectory(duration=14.0),
+        )
+        cam = sim.params.cameras[0]
+        cfg = VioConfig(
+            max_clones=11, max_slam=15, feat_rep_slam=rep, sigma_pix=1.0,
+            cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
+                                  q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)],
+        )
+        mgr = VioManager(cfg)
+        g0 = sim.get_gt_state(sim.t_start)
+        mgr.initialize_with_gt(
+            sim.t_start, g0["q_GtoI"], g0["p_IinG"], g0["v_IinG"], g0["bg"], g0["ba"]
+        )
+        est = {"t": [], "q": [], "p": []}
+        gts = {"q": [], "p": []}
+        while sim.ok():
+            r = sim.get_next_imu()
+            if r is None:
+                break
+            t, wm, am = r
+            mgr.feed_imu(t, wm, am)
+            if sim.cur_cam_t + 0.1 <= t:
+                rc = sim.get_next_cam()
+                if rc is None:
+                    break
+                tc, obs = rc
+                mgr.feed_features(tc, obs)
+                est["t"].append(tc)
+                est["q"].append(np.asarray(mgr.state.q))
+                est["p"].append(np.asarray(mgr.state.p))
+                g = sim.get_gt_state(tc)
+                gts["q"].append(g["q_GtoI"])
+                gts["p"].append(g["p_IinG"])
+            if est["t"] and est["t"][-1] - sim.t_start > 8:
+                break
+        return ate(
+            np.asarray(est["t"]), np.asarray(est["q"]), np.asarray(est["p"]),
+            np.asarray(est["t"]), np.asarray(gts["q"]), np.asarray(gts["p"]),
+            method="none",
+        )
+
+    res = run_rep()
+    assert res["rmse_pos"] < 0.25, (rep, res["rmse_pos"])

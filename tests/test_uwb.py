@@ -145,3 +145,28 @@ def test_uvio_manager_drain():
     # out-of-order set dropped
     mgr.feed_uwb(0.02, {10: d10})
     assert len(mgr.uwb_buffer) == 0
+
+
+def test_runtime_anchor_initialization():
+    """Anchors arriving at runtime: best-determinant fixed, others
+    estimated; late additions supported."""
+    from uvio_tpu.manager import CameraConfig
+    from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
+
+    cfg = UVioConfig(max_clones=4, max_anchors=6, cameras=[CameraConfig()])
+    mgr = UVioManager(cfg)
+    assert not mgr.anchors_initialized
+    a_good = AnchorConfig(anchor_id=1, p_AinG=np.zeros(3), prior_cov=np.eye(5) * 1e-6)
+    a_bad = AnchorConfig(anchor_id=2, p_AinG=np.ones(3), prior_cov=np.eye(5) * 1e-2)
+    mgr.feed_anchors([a_bad, a_good], n_fix=1)
+    assert mgr.anchors_initialized
+    # best (smallest det) anchor is fixed: zero covariance block
+    off_good = mgr.layout.anchor_slot_off(mgr.anchor_slot_by_id[1])
+    off_bad = mgr.layout.anchor_slot_off(mgr.anchor_slot_by_id[2])
+    P = np.asarray(mgr.state.cov)
+    np.testing.assert_allclose(P[off_good : off_good + 5, off_good : off_good + 5], 0.0)
+    assert P[off_bad, off_bad] > 0
+    # late addition, already-known anchor ignored
+    mgr.feed_anchors([a_good, AnchorConfig(anchor_id=3, p_AinG=np.ones(3) * 2)])
+    assert 3 in mgr.anchor_slot_by_id
+    assert len(mgr.anchor_slot_by_id) == 3

@@ -231,6 +231,38 @@ def propagate_mean_cov(
     return new_state, w_hats[-1]
 
 
+def propagate_mean_only(state, imu_t, imu_w, imu_a, gravity_mag: float):
+    """Mean-only RK4 propagation (no covariance) — the
+    `fast_state_propagate` path for IMU-rate odometry output
+    (`Propagator.cpp:140-267`). Returns (q, p, v) at imu_t[-1]."""
+    dtype = state.cov.dtype
+    gravity = jnp.array([0.0, 0.0, gravity_mag], dtype=dtype)
+    bg, ba = state.bg, state.ba
+    imu_w = imu_w.astype(dtype)
+    imu_a = imu_a.astype(dtype)
+
+    def body(carry, inp):
+        q, p, v = carry
+        t1, w1m, a1m, t2, w2m, a2m = inp
+        dt = (t2 - t1).astype(dtype)
+        has = dt > 0
+        new_q, new_p, new_v = _rk4_mean(
+            q, p, v, w1m - bg, a1m - ba, w2m - bg, a2m - ba, dt, gravity
+        )
+        return (
+            jnp.where(has, new_q, q),
+            jnp.where(has, new_p, p),
+            jnp.where(has, new_v, v),
+        ), None
+
+    (q, p, v), _ = jax.lax.scan(
+        body,
+        (state.q, state.p, state.v),
+        (imu_t[:-1], imu_w[:-1], imu_a[:-1], imu_t[1:], imu_w[1:], imu_a[1:]),
+    )
+    return q, p, v
+
+
 def propagate_and_clone(
     state: FilterState,
     layout: StateLayout,

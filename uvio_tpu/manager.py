@@ -691,6 +691,30 @@ class VioManager:
             self.db.cleanup_older_than(marg_t + 1e-9)
 
     # ------------------------------------------------------------------
+    def get_propagated_pose(self, t: float):
+        """IMU-rate pose output: mean-only propagation of the current
+        state to time t (`fast_state_propagate` /
+        `visualize_odometry` equivalent). Returns (q_GtoI, p, v)."""
+        t0 = float(self.state.time)
+        if not self.is_initialized or t <= t0 or not self._imu_t:
+            return (np.asarray(self.state.q), np.asarray(self.state.p),
+                    np.asarray(self.state.v))
+        from .filter.propagator import propagate_mean_only
+
+        if not hasattr(self, "_jit_fast_prop"):
+            self._jit_fast_prop = jax.jit(
+                partial(propagate_mean_only, gravity_mag=self.cfg.gravity_mag)
+            )
+        tt, ww, aa = select_imu_readings_np(
+            np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
+            t0, t, self.layout.max_imu_batch,
+        )
+        q, p, v = self._jit_fast_prop(
+            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa)
+        )
+        return np.asarray(q), np.asarray(p), np.asarray(v)
+
+    # ------------------------------------------------------------------
     def record_timing(self, path: str):
         """Start recording per-stage timing rows to a CSV
         (record_timing_information / record_timing_filepath)."""

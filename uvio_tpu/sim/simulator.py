@@ -252,18 +252,27 @@ class Simulator:
             jnp.asarray(cam.p_IinC), jnp.asarray(cam.intrinsics),
             jnp.asarray([cam.width, cam.height], dtype=jnp.float64), 0.1, 80.0,
         )
-        uv = np.asarray(uv)[np.asarray(ok)]
+        okn = np.asarray(ok)
+        uv = np.asarray(uv)[okn]
+        pt_ids = np.nonzero(okn)[0]
         H, W = cam.height, cam.width
         yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
         img = 40.0 + 20.0 * (xx / W) + 10.0 * (yy / H)
-        for (u, v) in uv:
-            x0, x1 = max(0, int(u) - 4), min(W, int(u) + 5)
-            y0, y1 = max(0, int(v) - 4), min(H, int(v) + 5)
+        for pid, (u, v) in zip(pt_ids, uv):
+            # per-point deterministic appearance (amplitude/size/ellipticity)
+            # so descriptor matchers can tell landmarks apart
+            h1 = (pid * 2654435761) % 97 / 97.0
+            h2 = (pid * 40503) % 89 / 89.0
+            amp = 120.0 + 120.0 * h1
+            sx = blob_sigma * (0.8 + 0.9 * h2)
+            sy = blob_sigma * (0.8 + 0.9 * ((h1 + h2) % 1.0))
+            x0, x1 = max(0, int(u) - 5), min(W, int(u) + 6)
+            y0, y1 = max(0, int(v) - 5), min(H, int(v) + 6)
             if x1 <= x0 or y1 <= y0:
                 continue
-            gx = np.exp(-((np.arange(x0, x1) - u) ** 2) / (2 * blob_sigma**2))
-            gy = np.exp(-((np.arange(y0, y1) - v) ** 2) / (2 * blob_sigma**2))
-            img[y0:y1, x0:x1] += 180.0 * gy[:, None] * gx[None, :]
+            gx = np.exp(-((np.arange(x0, x1) - u) ** 2) / (2 * sx**2))
+            gy = np.exp(-((np.arange(y0, y1) - v) ** 2) / (2 * sy**2))
+            img[y0:y1, x0:x1] += amp * gy[:, None] * gx[None, :]
         return np.clip(img, 0, 255).astype(np.float32)
 
     def get_next_uwb(self):

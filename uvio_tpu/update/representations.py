@@ -31,6 +31,11 @@ from ..types.state import FilterState
 
 GLOBAL_3D = 0
 ANCHORED_MSCKF_INVERSE_DEPTH = 1
+ANCHORED_3D = 2
+GLOBAL_FULL_INVERSE_DEPTH = 3
+# (ANCHORED_FULL_INVERSE_DEPTH = spherical-anchored and the 1-dof
+# ANCHORED_INVERSE_DEPTH_SINGLE remain on the roadmap; the four above
+# cover every representation the reference's shipped configs use.)
 
 
 def _anchor_cam_pose(state, slot, cam, fej: bool):
@@ -83,22 +88,87 @@ def d_invdepth_d_point(p_FinA):
     )
 
 
+def sphere_to_point(val):
+    """(theta, phi, rho) spherical inverse depth -> p_FinG
+    (GLOBAL_FULL_INVERSE_DEPTH, Landmark.cpp convention)."""
+    th, ph, rho = val[0], val[1], val[2]
+    safe = jnp.where(jnp.abs(rho) < 1e-8, 1e-8, rho)
+    return (
+        jnp.stack([jnp.cos(th) * jnp.sin(ph), jnp.sin(th) * jnp.sin(ph), jnp.cos(ph)])
+        / safe
+    )
+
+
+def point_to_sphere(p):
+    rho = 1.0 / jnp.maximum(jnp.linalg.norm(p), 1e-8)
+    ph = jnp.arccos(jnp.clip(rho * p[2], -1.0, 1.0))
+    th = jnp.arctan2(p[1], p[0])
+    return jnp.stack([th, ph, rho])
+
+
+def d_point_d_sphere(val):
+    """d p_FinG / d (theta, phi, rho) — UpdaterHelper.cpp:62-71."""
+    th, ph, rho = val[0], val[1], val[2]
+    s, c = jnp.sin, jnp.cos
+    safe = jnp.where(jnp.abs(rho) < 1e-8, 1e-8, rho)
+    return jnp.stack(
+        [
+            jnp.stack([-s(th) * s(ph) / safe, c(th) * c(ph) / safe, -c(th) * s(ph) / safe**2]),
+            jnp.stack([c(th) * s(ph) / safe, s(th) * c(ph) / safe, -s(th) * s(ph) / safe**2]),
+            jnp.stack([jnp.zeros_like(th), -s(ph) / safe, -c(ph) / safe**2]),
+        ]
+    )
+
+
+def is_anchored(rep: int) -> bool:
+    return rep in (ANCHORED_MSCKF_INVERSE_DEPTH, ANCHORED_3D)
+
+
+def value_from_anchor_point(rep: int, p_FinA):
+    """Anchor-frame point -> representation value."""
+    if rep == ANCHORED_3D:
+        return p_FinA
+    return point_to_invdepth(p_FinA)
+
+
+def anchor_point_from_value(rep: int, val):
+    if rep == ANCHORED_3D:
+        return val
+    return invdepth_to_point(val)
+
+
+def d_anchor_point_d_value(rep: int, val):
+    if rep == ANCHORED_3D:
+        return jnp.eye(3, dtype=val.dtype)
+    return d_point_d_invdepth(val)
+
+
+def d_value_d_anchor_point(rep: int, p_FinA):
+    if rep == ANCHORED_3D:
+        return jnp.eye(3, dtype=p_FinA.dtype)
+    return d_invdepth_d_point(p_FinA)
+
+
 def landmark_global(state: FilterState, layout: StateLayout, fej: bool = False):
     """(S,3) global positions of all landmark slots, plus (S,3,3) chain
     Jacobian d p_FinG / d value (identity for GLOBAL_3D)."""
-    if layout.slam_rep == GLOBAL_3D:
+    rep = layout.slam_rep
+    if rep == GLOBAL_3D:
         vals = state.slam_p_fej if fej else state.slam_p
         eye = jnp.broadcast_to(jnp.eye(3, dtype=vals.dtype), (layout.max_slam, 3, 3))
         return vals, eye
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        vals = state.slam_p_fej if fej else state.slam_p
+        return jax.vmap(sphere_to_point)(vals), jax.vmap(d_point_d_sphere)(vals)
 
     def one(slot_idx):
         val = (state.slam_p_fej if fej else state.slam_p)[slot_idx]
         a_slot = state.slam_anchor_slot[slot_idx]
         a_cam = state.slam_anchor_cam[slot_idx]
         R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, a_slot, a_cam, fej)
-        p_FinA = invdepth_to_point(val)
+        p_FinA = anchor_point_from_value(rep, val)
         p_FinG = R_GtoC.T @ p_FinA + p_CinG
-        J = R_GtoC.T @ d_point_d_invdepth(val)
+        J = R_GtoC.T @ d_anchor_point_d_value(rep, val)
         return p_FinG, J
 
     return jax.vmap(one)(jnp.arange(layout.max_slam))
@@ -114,16 +184,22 @@ def anchored_chain(state: FilterState, layout: StateLayout):
     For GLOBAL_3D: (values, identity, zeros).
     """
     S = layout.max_slam
-    if layout.slam_rep == GLOBAL_3D:
+    rep = layout.slam_rep
+    if rep == GLOBAL_3D:
         eye = jnp.broadcast_to(jnp.eye(3, dtype=state.slam_p.dtype), (S, 3, 3))
         return state.slam_p, eye, jnp.zeros((S, 3, 6), state.slam_p.dtype)
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        # FEJ on the stored value (UpdaterHelper.cpp:45-46)
+        p_glob = jax.vmap(sphere_to_point)(state.slam_p)
+        J = jax.vmap(d_point_d_sphere)(state.slam_p_fej)
+        return p_glob, J, jnp.zeros((S, 3, 6), state.slam_p.dtype)
 
     def one(s):
         val = state.slam_p[s]
         a_slot = state.slam_anchor_slot[s]
         cam = state.slam_anchor_cam[s]
         R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, a_slot, cam, False)
-        p_FinA = invdepth_to_point(val)
+        p_FinA = anchor_point_from_value(rep, val)
         p_FinG = R_GtoC.T @ p_FinA + p_CinG  # current best
         # transform best into the FEJ anchor frame
         R_GtoI_f = quat_to_rot(state.clones_q_fej[a_slot])
@@ -132,7 +208,9 @@ def anchored_chain(state: FilterState, layout: StateLayout):
         p_IinC = state.calib_cam_p[cam]
         p_FinA_fej = R_ItoC @ R_GtoI_f @ (p_FinG - p_I_f) + p_IinC
         R_CtoG = R_GtoI_f.T @ R_ItoC.T
-        J_rep = R_CtoG @ d_point_d_invdepth(point_to_invdepth(p_FinA_fej))
+        J_rep = R_CtoG @ d_anchor_point_d_value(
+            rep, value_from_anchor_point(rep, p_FinA_fej)
+        )
         H_anc_th = -R_GtoI_f.T @ skew(R_ItoC.T @ (p_FinA_fej - p_IinC))
         H_anc = jnp.concatenate(
             [H_anc_th, jnp.eye(3, dtype=val.dtype)], axis=1
@@ -144,16 +222,19 @@ def anchored_chain(state: FilterState, layout: StateLayout):
 
 def point_to_rep(state: FilterState, layout: StateLayout, p_FinG, anchor_slot, anchor_cam):
     """Global point -> representation value for a (new) anchor."""
-    if layout.slam_rep == GLOBAL_3D:
+    rep = layout.slam_rep
+    if rep == GLOBAL_3D:
         return p_FinG
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        return point_to_sphere(p_FinG)
     R_GtoC, p_CinG, _, _ = _anchor_cam_pose(state, anchor_slot, anchor_cam, False)
-    return point_to_invdepth(R_GtoC @ (p_FinG - p_CinG))
+    return value_from_anchor_point(rep, R_GtoC @ (p_FinG - p_CinG))
 
 
 def anchor_change(state: FilterState, layout: StateLayout, marg_slot, new_slot):
     """Re-anchor every landmark currently anchored at clone `marg_slot`
     to clone `new_slot` (value exactly, covariance to first order)."""
-    if layout.slam_rep == GLOBAL_3D:
+    if not is_anchored(layout.slam_rep):
         return state
     L = layout
     D = L.dim
@@ -168,15 +249,16 @@ def anchor_change(state: FilterState, layout: StateLayout, marg_slot, new_slot):
             # current values for the re-anchoring Jacobians)
             R_a, p_a, R_Ia, p_Ia = _anchor_cam_pose(st, marg_slot, cam, False)
             R_n, p_n, R_In, p_In = _anchor_cam_pose(st, new_slot, cam, False)
-            p_FinA = invdepth_to_point(val)
+            rep = L.slam_rep
+            p_FinA = anchor_point_from_value(rep, val)
             p_FinG = R_a.T @ p_FinA + p_a
             p_FinCn = R_n @ (p_FinG - p_n)
-            new_val = point_to_invdepth(p_FinCn)
+            new_val = value_from_anchor_point(rep, p_FinCn)
 
-            Jf_pc = d_invdepth_d_point(p_FinCn)  # (3,3)
+            Jf_pc = d_value_d_anchor_point(rep, p_FinCn)  # (3,3)
             R_ItoC = quat_to_rot(st.calib_cam_q[cam])
             # A: wrt old landmark value
-            A = Jf_pc @ R_n @ (R_a.T @ d_point_d_invdepth(val))
+            A = Jf_pc @ R_n @ (R_a.T @ d_anchor_point_d_value(rep, val))
             # B: wrt old anchor clone (theta, p)
             v_a = R_ItoC.T @ p_FinA - R_ItoC.T @ st.calib_cam_p[cam]
             B_th = Jf_pc @ R_n @ (-R_Ia.T @ skew(v_a))

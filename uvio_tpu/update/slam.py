@@ -14,9 +14,10 @@ TPU-native equivalent of `ov_msckf/src/update/UpdaterSLAM.{h,cpp}`:
     nullspace projection). chi2 failures are reported so the manager
     can count them toward marginalization (update_fail_count).
 
-Landmark representations: GLOBAL_3D and ANCHORED_MSCKF_INVERSE_DEPTH
-(the reference's shipped default), via update/representations.py —
-including the anchor-pose Jacobian terms and anchor changes.
+Landmark representations (update/representations.py): GLOBAL_3D,
+ANCHORED_MSCKF_INVERSE_DEPTH (the reference's shipped default),
+ANCHORED_3D, and GLOBAL_FULL_INVERSE_DEPTH — with anchor-pose Jacobian
+terms and covariance-exact anchor changes for the anchored ones.
 
 Slot alignment: the SLAM obs tensor is indexed by *slam slot* (S,K,C,2),
 so landmark columns are static offsets; candidates carry explicit slot
@@ -37,9 +38,12 @@ from .msckf import _pack_rows, clone_camera_poses, feature_system
 from .representations import (
     ANCHORED_MSCKF_INVERSE_DEPTH,
     GLOBAL_3D,
+    GLOBAL_FULL_INVERSE_DEPTH,
+    anchor_point_from_value,
     anchored_chain,
-    d_point_d_invdepth,
-    invdepth_to_point,
+    d_anchor_point_d_value,
+    d_point_d_sphere,
+    is_anchored,
     point_to_rep,
 )
 from .triangulation import triangulate_batch
@@ -144,7 +148,7 @@ def slam_delayed_init(
     # inverse-depth conditioning to absorb depth error, so they demand much
     # stronger geometry; anchored inverse depth tolerates the reference's
     # full 40x depth/baseline bound.
-    max_bl = 40.0 if L.slam_rep == ANCHORED_MSCKF_INVERSE_DEPTH else 10.0
+    max_bl = 40.0 if L.slam_rep != GLOBAL_3D else 10.0
     feat_p, tri_ok = triangulate_batch(
         uvn_obs.reshape(Fc, K * C, 2),
         obs_mask.reshape(Fc, K * C),
@@ -160,7 +164,8 @@ def slam_delayed_init(
     # reference which anchors new landmarks at the last clone)
     anchor_slot = state.clone_head
     anchor_cam = jnp.int32(0)
-    if L.slam_rep == ANCHORED_MSCKF_INVERSE_DEPTH:
+    rep = L.slam_rep
+    if is_anchored(rep):
         vals0 = jax.vmap(
             lambda p: point_to_rep(state, L, p, anchor_slot, anchor_cam)
         )(feat_p)
@@ -168,14 +173,16 @@ def slam_delayed_init(
         p_IinC = state.calib_cam_p[anchor_cam]
         R_GtoI_a = quat_to_rot(state.clones_q[anchor_slot])
         R_GtoC_a = R_ItoC @ R_GtoI_a
-        J_chain = jax.vmap(lambda v: R_GtoC_a.T @ d_point_d_invdepth(v))(vals0)
+        J_chain = jax.vmap(
+            lambda v: R_GtoC_a.T @ d_anchor_point_d_value(rep, v)
+        )(vals0)
         H_fG = H_f
         H_f = jnp.einsum("smj,sjk->smk", H_fG, J_chain)
         # anchor-pose term added into the anchor clone's columns
         M0 = H_fG.shape[1]
 
         def anc_one(v):
-            p_FinA = invdepth_to_point(v)
+            p_FinA = anchor_point_from_value(rep, v)
             th = -R_GtoI_a.T @ skew(R_ItoC.T @ (p_FinA - p_IinC))
             return jnp.concatenate([th, jnp.eye(3, dtype=v.dtype)], axis=1)
 
@@ -191,8 +198,16 @@ def slam_delayed_init(
 
         Hx = jax.vmap(add_anchor)(Hx, extra)
         # anchored features must be in front of the anchor camera
-        depth_ok = jax.vmap(lambda v: invdepth_to_point(v)[2] > 0.1)(vals0)
+        depth_ok = jax.vmap(
+            lambda v: anchor_point_from_value(rep, v)[2] > 0.1
+        )(vals0)
         tri_ok = tri_ok & depth_ok
+    elif rep == GLOBAL_FULL_INVERSE_DEPTH:
+        vals0 = jax.vmap(
+            lambda p: point_to_rep(state, L, p, anchor_slot, anchor_cam)
+        )(feat_p)
+        J_chain = jax.vmap(d_point_d_sphere)(vals0)
+        H_f = jnp.einsum("smj,sjk->smk", H_f, J_chain)
     else:
         vals0 = feat_p
     Hx_p, H_f_p, res_p, rm_p = _pack_rows(Hx, H_f, res, row_mask)

@@ -172,6 +172,25 @@ class UVioManager(VioManager):
         self.anchors_initialized = True
 
     # ------------------------------------------------------------------
+    def feed_anchors(self, anchors: List[AnchorConfig], n_fix: Optional[int] = None):
+        """Runtime anchor initialization (the `/uwb_init/anchors`
+        callback path, `UVIOROS1Visualizer.cpp:197-235`): sort received
+        anchors by prior-covariance determinant, fix the best `n_fix`,
+        insert the rest as estimated states. Supports late additions."""
+        fresh = [a for a in anchors if a.anchor_id not in self.anchor_slot_by_id]
+        if not fresh:
+            return
+
+        def detcov(a):
+            return np.linalg.det(a.prior_cov) if a.prior_cov is not None else np.inf
+
+        fresh = sorted(fresh, key=detcov)
+        if n_fix:
+            for a in fresh[:n_fix]:
+                a.fix = True
+        self.initialize_anchors(fresh)
+
+    # ------------------------------------------------------------------
     def feed_uwb(self, t: float, ranges: Dict[int, float]):
         """Buffer a range set (feed_measurement_uwb gates)."""
         if not (self.is_initialized and self.anchors_initialized):
