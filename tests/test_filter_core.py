@@ -247,3 +247,36 @@ def test_select_imu_readings():
     # interpolation at boundary
     lam = (0.123 - 0.12) / 0.01
     np.testing.assert_allclose(w[0], (1 - lam) * ws[12] + lam * ws[13], atol=1e-12)
+
+
+def test_native_select_imu_matches_numpy():
+    """The C++ native IMU slicer must match the numpy specification
+    bit-for-bit (same interpolation in f64)."""
+    from uvio_tpu.native import select_imu_readings as native_fn
+
+    times = np.arange(0, 1.0, 0.01)
+    ws = RNG.normal(size=(100, 3))
+    accs = RNG.normal(size=(100, 3))
+    out_n = native_fn(times, ws, accs, 0.123, 0.217, 16)
+    if out_n is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # numpy reference (the fallback body)
+    import uvio_tpu.native as nat
+
+    saved = nat.select_imu_readings
+    nat.select_imu_readings = lambda *a, **k: None  # force fallback
+    try:
+        out_p = select_imu_readings_np(times, ws, accs, 0.123, 0.217, 16)
+    finally:
+        nat.select_imu_readings = saved
+    for a, b in zip(out_n, out_p):
+        np.testing.assert_array_equal(a, b)
+    # error paths agree
+    import pytest
+
+    with pytest.raises(AssertionError):
+        native_fn(times, ws, accs, 0.5, 0.4, 16)
+    with pytest.raises(ValueError):
+        native_fn(times, ws, accs, 0.0, 0.9, 8)

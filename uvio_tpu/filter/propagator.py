@@ -290,7 +290,16 @@ def select_imu_readings_np(
     covering [t0, t1] with linearly interpolated boundary samples, then
     pad (by repeating the last sample) to `m_max` rows.
     Returns (t (m_max,), w (m_max,3), a (m_max,3)).
+
+    Dispatches to the native C++ implementation when built
+    (uvio_tpu/native); this numpy body is the fallback and the
+    behavioral specification.
     """
+    from ..native import select_imu_readings as _native
+
+    out = _native(times, ws, accs, t0, t1, m_max)
+    if out is not None:
+        return out
     assert t1 > t0, "backwards propagation request"
 
     def interp(t):

@@ -133,6 +133,20 @@ class KLTTracker:
         self.prev_img = img_j
         return self._emit()
 
+    def stereo_match(self, img_left, img_right, uv_left, valid):
+        """LK-match features from the left image into the right image
+        (TrackKLT::perform_matching stereo path, `TrackKLT.cpp:202-390`):
+        left positions seed the right-image search; failures masked.
+        Returns (uv_right (N,2), ok (N,))."""
+        import jax.numpy as jnp
+
+        from .klt import build_pyramid, lk_track
+
+        pl = build_pyramid(jnp.asarray(img_left, jnp.float32), self.levels)
+        pr = build_pyramid(jnp.asarray(img_right, jnp.float32), self.levels)
+        uv_r, ok = lk_track(pl, pr, jnp.asarray(uv_left), jnp.asarray(valid), half=self.half)
+        return np.array(uv_r), np.array(ok)
+
     def _spawn(self, det_uv, det_ok):
         free = np.nonzero(~self.active)[0]
         new = np.nonzero(det_ok)[0]
