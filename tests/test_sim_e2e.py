@@ -194,3 +194,49 @@ def test_slam_representations(rep):
 
     res = run_rep()
     assert res["rmse_pos"] < 0.25, (rep, res["rmse_pos"])
+
+
+@pytest.mark.slow
+def test_online_extrinsic_calibration():
+    """With calib_cam_pose enabled, a perturbed camera-IMU rotation must
+    converge toward truth while the filter keeps tracking."""
+    from scipy.spatial.transform import Rotation as Rsp
+
+    import jax.numpy as jnp
+
+    from uvio_tpu.math import quat_to_rot, rot_to_quat
+
+    sim = Simulator(SimParams(seed=13), trajectory=circle_trajectory(duration=26.0))
+    cam = sim.params.cameras[0]  # true extrinsics: identity / zero
+    dR = Rsp.from_euler("xyz", [0.8, -0.6, 0.5], degrees=True).as_matrix()
+    q_pert = np.asarray(rot_to_quat(jnp.asarray(dR)))
+    p_pert = np.array([0.01, -0.008, 0.012])
+    cfg = VioConfig(
+        max_clones=11, sigma_pix=1.0, calib_cam_pose=True,
+        cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
+                              q_ItoC=q_pert, p_IinC=p_pert)],
+    )
+    mgr = VioManager(cfg)
+    g0 = sim.get_gt_state(sim.t_start)
+    mgr.initialize_with_gt(
+        sim.t_start, g0["q_GtoI"], g0["p_IinG"], g0["v_IinG"], g0["bg"], g0["ba"]
+    )
+    n = 0
+    while sim.ok() and n <= 200:
+        r = sim.get_next_imu()
+        if r is None:
+            break
+        t, wm, am = r
+        mgr.feed_imu(t, wm, am)
+        if sim.cur_cam_t + 0.1 <= t:
+            rc = sim.get_next_cam()
+            if rc is None:
+                break
+            mgr.feed_features(*rc)
+            n += 1
+    R_est = np.asarray(quat_to_rot(mgr.state.calib_cam_q[0]))
+    err_rot0 = np.linalg.norm(Rsp.from_matrix(dR).as_rotvec())
+    err_rot1 = np.linalg.norm(Rsp.from_matrix(R_est).as_rotvec())
+    assert err_rot1 < 0.5 * err_rot0, (np.degrees(err_rot0), np.degrees(err_rot1))
+    err_pos1 = np.linalg.norm(np.asarray(mgr.state.calib_cam_p[0]))
+    assert err_pos1 < 1.5 * np.linalg.norm(p_pert)  # not diverging

@@ -74,6 +74,11 @@ class VioConfig:
     calib_cam_timeoffset: bool = False
     # compute precision for everything except the time axis
     dtype: str = "float64"
+    # prior std-devs for online calibration states (when enabled)
+    calib_pose_prior_rot: float = 0.015  # rad
+    calib_pose_prior_pos: float = 0.01  # m
+    calib_intr_prior: float = 1.0  # focal/center px, distortion abs
+    calib_dt_prior: float = 0.01  # s
     # initialization
     use_static_init: bool = False
     init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
@@ -112,6 +117,35 @@ class VioManager:
                 np.stack([c.intrinsics for c in cfg.cameras]), self.dtype
             ),
         )
+        # seed priors for enabled calibration states (the reference puts
+        # these in the initial covariance at construction)
+        if cfg.calib_cam_pose or cfg.calib_cam_intrinsics or cfg.calib_cam_timeoffset:
+            from .filter.ekf import set_block_covariance
+
+            cov = s.cov
+            L = self.layout
+            if cfg.calib_cam_timeoffset:
+                cov = set_block_covariance(
+                    cov, jnp.int32(L.calib_dt_off),
+                    jnp.asarray([[cfg.calib_dt_prior**2]], self.dtype),
+                )
+            if cfg.calib_cam_pose:
+                blk = np.diag(
+                    [cfg.calib_pose_prior_rot**2] * 3 + [cfg.calib_pose_prior_pos**2] * 3
+                )
+                for c in range(len(cfg.cameras)):
+                    cov = set_block_covariance(
+                        cov, jnp.int32(L.calib_cam_pose_off + 6 * c),
+                        jnp.asarray(blk, self.dtype),
+                    )
+            if cfg.calib_cam_intrinsics:
+                blk = np.eye(8) * cfg.calib_intr_prior**2
+                for c in range(len(cfg.cameras)):
+                    cov = set_block_covariance(
+                        cov, jnp.int32(L.calib_cam_intr_off + 8 * c),
+                        jnp.asarray(blk, self.dtype),
+                    )
+            s = s.replace(cov=cov)
         self.state: FilterState = s
         self.db = FeatureDatabase()
         self.is_initialized = False
