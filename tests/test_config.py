@@ -70,3 +70,72 @@ def test_manager_builds_from_each_config():
         cfg = dataclasses.replace(cfg, max_slam=min(cfg.max_slam, 5), max_clones=5)
         mgr = UVioManager(cfg) if isinstance(cfg, UVioConfig) else VioManager(cfg)
         assert mgr.layout.dim > 15
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_euroc_config_end_to_end_sim():
+    """Integration: the real EuRoC stereo calibration (radtan distortion,
+    11 cm baseline, noise densities) loaded from the reference's config
+    directory drives the full estimator on simulated data."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from uvio_tpu.eval import ate
+    from uvio_tpu.manager import VioManager
+    from uvio_tpu.sim import SimCamera, SimParams, Simulator, circle_trajectory
+
+    cfg, extras = load_config(os.path.join(REF, "euroc_mav"))
+    # shrink state sizes for test runtime; keep the real calibration
+    cfg = dataclasses.replace(
+        cfg, max_clones=8, max_slam=0, max_msckf_in_update=30,
+        calib_cam_pose=False, calib_cam_intrinsics=False, calib_cam_timeoffset=False,
+    )
+    sim_cams = [
+        SimCamera(
+            model=c.model, intrinsics=np.asarray(c.intrinsics),
+            q_ItoC=np.asarray(c.q_ItoC), p_IinC=np.asarray(c.p_IinC),
+        )
+        for c in cfg.cameras
+    ]
+    sim = Simulator(
+        SimParams(seed=17, cameras=sim_cams, sigma_pix=1.0,
+                  sigma_w=cfg.noises.sigma_w, sigma_wb=cfg.noises.sigma_wb,
+                  sigma_a=cfg.noises.sigma_a, sigma_ab=cfg.noises.sigma_ab),
+        trajectory=circle_trajectory(duration=14.0),
+    )
+    mgr = VioManager(cfg)
+    g0 = sim.get_gt_state(sim.t_start)
+    mgr.initialize_with_gt(
+        sim.t_start, g0["q_GtoI"], g0["p_IinG"], g0["v_IinG"], g0["bg"], g0["ba"]
+    )
+    est = {"t": [], "q": [], "p": []}
+    gts = {"q": [], "p": []}
+    while sim.ok():
+        r = sim.get_next_imu()
+        if r is None:
+            break
+        t, wm, am = r
+        mgr.feed_imu(t, wm, am)
+        if sim.cur_cam_t + 0.1 <= t:
+            rc = sim.get_next_cam()
+            if rc is None:
+                break
+            tc, obs = rc
+            mgr.feed_features(tc, obs)
+            est["t"].append(tc)
+            est["q"].append(np.asarray(mgr.state.q))
+            est["p"].append(np.asarray(mgr.state.p))
+            g = sim.get_gt_state(tc)
+            gts["q"].append(g["q_GtoI"])
+            gts["p"].append(g["p_IinG"])
+        if est["t"] and est["t"][-1] - sim.t_start > 8:
+            break
+    res = ate(
+        np.asarray(est["t"]), np.asarray(est["q"]), np.asarray(est["p"]),
+        np.asarray(est["t"]), np.asarray(gts["q"]), np.asarray(gts["p"]),
+        method="none",
+    )
+    # stereo with real calibration: metric scale observable
+    assert res["rmse_pos"] < 0.10, res["rmse_pos"]
