@@ -38,13 +38,17 @@ from ..types.state import FilterState
 
 
 def propagate_covariance(cov: jnp.ndarray, phi: jnp.ndarray, qd: jnp.ndarray) -> jnp.ndarray:
-    """P <- [Phi 0; 0 I] P [.]^T + diag(Qd, 0) for the leading 15x15 block.
+    """P <- [Phi 0; 0 I] P [.]^T + diag(Qd, 0) for the leading block.
 
     Mirrors `StateHelper::EKFPropagation` (`StateHelper.cpp:36-114`) for
-    the contiguous IMU block at offset 0.
+    the contiguous leading block. `phi` is (15, b): the top rows of the
+    block transition over [imu(15) | imu-intrinsics(b-15)] — the
+    intrinsics rows are constant identity, so only the 15 IMU rows of
+    the covariance change.
     """
-    rows = phi @ cov[:15, :]  # (15, D)
-    new_ii = rows[:, :15] @ phi.T + qd
+    b = phi.shape[1]
+    rows = phi @ cov[:b, :]  # (15, D)
+    new_ii = rows[:, :b] @ phi.T + qd  # (15, 15)
     cov = cov.at[:15, :].set(rows)
     cov = cov.at[:, :15].set(rows.T)
     cov = cov.at[:15, :15].set(0.5 * (new_ii + new_ii.T))
@@ -87,6 +91,24 @@ def inject(state: FilterState, layout: StateLayout, dx: jnp.ndarray) -> FilterSt
         slam_p = jnp.where(state.slam_valid[:, None], state.slam_p + dxs, state.slam_p)
     else:
         slam_p = state.slam_p
+    # imu intrinsics
+    calib_imu_dw = state.calib_imu_dw
+    calib_imu_da = state.calib_imu_da
+    calib_imu_tg = state.calib_imu_tg
+    calib_imu_gq = state.calib_imu_gq
+    calib_imu_aq = state.calib_imu_aq
+    if L.calib_imu_intrinsics:
+        calib_imu_dw = calib_imu_dw + dx[L.imu_dw_off : L.imu_dw_off + 6]
+        calib_imu_da = calib_imu_da + dx[L.imu_da_off : L.imu_da_off + 6]
+        if L.calib_imu_g_sensitivity:
+            calib_imu_tg = calib_imu_tg + dx[L.imu_tg_off : L.imu_tg_off + 9]
+        dth = dx[L.imu_theta_off : L.imu_theta_off + 3]
+        from ..types.layout import IMU_MODEL_KALIBR
+
+        if L.imu_model == IMU_MODEL_KALIBR:
+            calib_imu_gq = quat_multiply(_dq(dth), calib_imu_gq)
+        else:
+            calib_imu_aq = quat_multiply(_dq(dth), calib_imu_aq)
     # calib
     calib_dt = state.calib_dt
     calib_cam_q = state.calib_cam_q
@@ -136,6 +158,11 @@ def inject(state: FilterState, layout: StateLayout, dx: jnp.ndarray) -> FilterSt
         clones_q=clones_q,
         clones_p=clones_p,
         slam_p=slam_p,
+        calib_imu_dw=calib_imu_dw,
+        calib_imu_da=calib_imu_da,
+        calib_imu_tg=calib_imu_tg,
+        calib_imu_gq=calib_imu_gq,
+        calib_imu_aq=calib_imu_aq,
         calib_dt=calib_dt,
         calib_cam_q=calib_cam_q,
         calib_cam_p=calib_cam_p,

@@ -26,9 +26,67 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..math import exp_so3, jr_so3, log_so3, omega, quat_multiply, quat_norm, quat_to_rot, skew
-from ..types.layout import StateLayout
+from ..types.layout import IMU_MODEL_KALIBR, StateLayout
 from ..types.state import FilterState
 from .ekf import augment_clone, propagate_covariance
+
+
+# ---------------------------------------------------------------------------
+# IMU intrinsics (State::Dm / State::Tg, `State.h:91-135`)
+# ---------------------------------------------------------------------------
+
+
+def dm_matrix(vec, imu_model: int):
+    """3x3 scale/misalignment matrix from its 6-vector.
+
+    KALIBR fills the lower triangle column-wise, RPNG the upper
+    triangle (`State::Dm`)."""
+    z = jnp.zeros((), vec.dtype)
+    if imu_model == IMU_MODEL_KALIBR:
+        rows = [
+            jnp.stack([vec[0], z, z]),
+            jnp.stack([vec[1], vec[3], z]),
+            jnp.stack([vec[2], vec[4], vec[5]]),
+        ]
+    else:
+        rows = [
+            jnp.stack([vec[0], vec[1], vec[3]]),
+            jnp.stack([z, vec[2], vec[4]]),
+            jnp.stack([z, z, vec[5]]),
+        ]
+    return jnp.stack(rows)
+
+
+def tg_matrix(vec):
+    """3x3 gravity-sensitivity matrix, column-wise fill (`State::Tg`)."""
+    return vec.reshape(3, 3).T
+
+
+def _h_dm(v, imu_model: int, dtype):
+    """d(Dm @ v)/d(vec) — (3, 6) (`Propagator::compute_H_Dw/H_Da`)."""
+    z = jnp.zeros((), dtype)
+    if imu_model == IMU_MODEL_KALIBR:
+        # cols: v1*I3 | v2*e2 | v2*e3 | v3*e3
+        rows = [
+            jnp.stack([v[0], z, z, z, z, z]),
+            jnp.stack([z, v[0], z, v[1], z, z]),
+            jnp.stack([z, z, v[0], z, v[1], v[2]]),
+        ]
+    else:
+        # cols: v1*e1 | v2*e1 | v2*e2 | v3*I3
+        rows = [
+            jnp.stack([v[0], v[1], z, v[2], z, z]),
+            jnp.stack([z, z, v[1], z, v[2], z]),
+            jnp.stack([z, z, z, z, z, v[2]]),
+        ]
+    return jnp.stack(rows)
+
+
+def _h_tg(a, dtype):
+    """d(Tg @ a)/d(vec) — (3, 9) = [a1*I3, a2*I3, a3*I3]
+    (`Propagator::compute_H_Tg`)."""
+    eye3 = jnp.eye(3, dtype=dtype)
+    return jnp.concatenate([a[0] * eye3, a[1] * eye3, a[2] * eye3], axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,40 +136,94 @@ def _rk4_mean(q, p, v, w1, a1, w2, a2, dt, gravity):
 
 
 def _f_and_g_discrete(
-    R_k, p_k, v_k, new_q, new_p, new_v, w_hat, a_hat, dt, gravity, dtype
+    R_k,
+    p_k,
+    v_k,
+    new_q,
+    new_p,
+    new_v,
+    w_hat,
+    a_hat,
+    dt,
+    gravity,
+    dtype,
+    layout: StateLayout = None,
+    intr=None,
 ):
-    """15x15 F and 15x12 G (compute_F_and_G_discrete, no imu intrinsics).
+    """F (15, 15+s) and G (15, 12) (compute_F_and_G_discrete,
+    `Propagator.cpp:830-960`), s = layout.imu_intr_dim.
 
     R_k/p_k/v_k are the FEJ linearization points of the *start* state.
+    `intr`, when intrinsic calibration is on, is a dict with the
+    correction matrices and uncorrected/corrected readings:
+    RwDw (=R_GYROtoIMU @ Dw), RaDa, R_w, R_a, Tg, w_unc, a_unc, w_k, a_k.
     """
     eye3 = jnp.eye(3, dtype=dtype)
     R_new = quat_to_rot(new_q)
     dR = R_new @ R_k.T
     Jr = jr_so3(log_so3(dR))
+    dRJrdt = dR @ Jr * dt
 
-    F = jnp.zeros((15, 15), dtype=dtype)
+    if intr is None:
+        RwDw = RaDa = eye3
+        TgM = jnp.zeros((3, 3), dtype=dtype)
+    else:
+        RwDw, RaDa, TgM = intr["RwDw"], intr["RaDa"], intr["Tg"]
+
+    s = 0 if layout is None else layout.imu_intr_dim
+    F = jnp.zeros((15, 15 + s), dtype=dtype)
     # theta rows
     F = F.at[0:3, 0:3].set(dR)
-    F = F.at[0:3, 9:12].set(-dR @ Jr * dt)
+    F = F.at[0:3, 9:12].set(-dRJrdt @ RwDw)
+    F = F.at[0:3, 12:15].set(dRJrdt @ RwDw @ TgM @ RaDa)
     # position rows
     F = F.at[3:6, 0:3].set(
         -skew(new_p - p_k - v_k * dt + 0.5 * gravity * dt * dt) @ R_k.T
     )
     F = F.at[3:6, 3:6].set(eye3)
     F = F.at[3:6, 6:9].set(eye3 * dt)
-    F = F.at[3:6, 12:15].set(-0.5 * R_k.T * dt * dt)
+    F = F.at[3:6, 12:15].set(-0.5 * dt * dt * R_k.T @ RaDa)
     # velocity rows
     F = F.at[6:9, 0:3].set(-skew(new_v - v_k + gravity * dt) @ R_k.T)
     F = F.at[6:9, 6:9].set(eye3)
-    F = F.at[6:9, 12:15].set(-R_k.T * dt)
+    F = F.at[6:9, 12:15].set(-dt * R_k.T @ RaDa)
     # bias rows
     F = F.at[9:12, 9:12].set(eye3)
     F = F.at[12:15, 12:15].set(eye3)
 
+    if s > 0:
+        L = layout
+        model = L.imu_model
+        H_Dw = _h_dm(intr["w_unc"], model, dtype)
+        H_Da = _h_dm(intr["a_unc"], model, dtype)
+        dw0, da0 = L.imu_dw_off, L.imu_da_off
+        F = F.at[0:3, dw0 : dw0 + 6].set(dRJrdt @ intr["R_w"] @ H_Dw)
+        # NB the reference omits Dw in this block
+        # (`Propagator.cpp:934` uses R_wtoI*Tg*R_atoI*H_Da); we keep the
+        # exact chain rule d(w_I)/d(Da) = -R_w Dw Tg R_a H_Da.
+        F = F.at[0:3, da0 : da0 + 6].set(-dRJrdt @ RwDw @ TgM @ intr["R_a"] @ H_Da)
+        F = F.at[3:6, da0 : da0 + 6].set(0.5 * dt * dt * R_k.T @ intr["R_a"] @ H_Da)
+        F = F.at[6:9, da0 : da0 + 6].set(dt * R_k.T @ intr["R_a"] @ H_Da)
+        if L.calib_imu_g_sensitivity:
+            tg0 = L.imu_tg_off
+            F = F.at[0:3, tg0 : tg0 + 9].set(-dRJrdt @ RwDw @ _h_tg(intr["a_k"], dtype))
+        th0 = L.imu_theta_off
+        if model == IMU_MODEL_KALIBR:
+            # gyro-to-IMU rotation error
+            F = F.at[0:3, th0 : th0 + 3].set(dRJrdt @ skew(intr["w_k"]))
+        else:
+            # acc-to-IMU rotation error
+            F = F.at[0:3, th0 : th0 + 3].set(-dRJrdt @ RwDw @ TgM @ skew(intr["a_k"]))
+            F = F.at[3:6, th0 : th0 + 3].set(0.5 * dt * dt * R_k.T @ skew(intr["a_k"]))
+            F = F.at[6:9, th0 : th0 + 3].set(dt * R_k.T @ skew(intr["a_k"]))
+        # intrinsics rows themselves are identity, handled by the
+        # caller's Phi recursion (they never change).
+
     G = jnp.zeros((15, 12), dtype=dtype)
-    G = G.at[0:3, 0:3].set(-dR @ Jr * dt)
-    G = G.at[3:6, 3:6].set(-0.5 * R_k.T * dt * dt)
-    G = G.at[6:9, 3:6].set(-R_k.T * dt)
+    G = G.at[0:3, 0:3].set(-dRJrdt @ RwDw)
+    G = G.at[0:3, 3:6].set(dRJrdt @ RwDw @ TgM @ RaDa)
+    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * R_k.T @ RaDa)
+    G = G.at[6:9, 3:6].set(-dt * R_k.T @ RaDa)
     G = G.at[9:12, 6:9].set(eye3 * dt)
     G = G.at[12:15, 9:12].set(eye3 * dt)
     return F, G
@@ -140,6 +252,19 @@ def propagate_mean_cov(
     imu_w = imu_w.astype(dtype)
     imu_a = imu_a.astype(dtype)
 
+    # IMU intrinsic correction matrices (identity unless seeded/estimated):
+    #   a_I = R_AtoI Da (a_m - ba);  w_I = R_WtoI Dw (w_m - bg - Tg a_I)
+    # (`Propagator.cpp:403-429`)
+    model = layout.imu_model
+    Dw = dm_matrix(state.calib_imu_dw.astype(dtype), model)
+    Da = dm_matrix(state.calib_imu_da.astype(dtype), model)
+    TgM = tg_matrix(state.calib_imu_tg.astype(dtype))
+    R_w = quat_to_rot(state.calib_imu_gq.astype(dtype))
+    R_a = quat_to_rot(state.calib_imu_aq.astype(dtype))
+    RwDw = R_w @ Dw
+    RaDa = R_a @ Da
+    s = layout.imu_intr_dim
+
     q0, p0, v0 = state.q, state.p, state.v
     Rf0 = quat_to_rot(state.q_fej)
     pf0, vf0 = state.p_fej, state.v_fej
@@ -150,8 +275,12 @@ def propagate_mean_cov(
         dt = (t2 - t1).astype(dtype)
         has = dt > 0
         safe_dt = jnp.where(has, dt, 1.0)
-        w1, a1 = w1m - bg, a1m - ba
-        w2, a2 = w2m - bg, a2m - ba
+        a1 = RaDa @ (a1m - ba)
+        a2 = RaDa @ (a2m - ba)
+        w1u = w1m - bg - TgM @ a1
+        w2u = w2m - bg - TgM @ a2
+        w1 = RwDw @ w1u
+        w2 = RwDw @ w2u
         w_hat = 0.5 * (w1 + w2)
         a_hat = 0.5 * (a1 + a2)
 
@@ -160,15 +289,41 @@ def propagate_mean_cov(
         new_p = jnp.where(has, new_p, p)
         new_v = jnp.where(has, new_v, v)
 
+        intr = {
+            "RwDw": RwDw,
+            "RaDa": RaDa,
+            "R_w": R_w,
+            "R_a": R_a,
+            "Tg": TgM,
+            # uncorrected (bias/gravity-sensitivity removed) averages
+            "w_unc": 0.5 * (w1u + w2u),
+            "a_unc": 0.5 * ((a1m - ba) + (a2m - ba)),
+            # fully corrected averages in the IMU frame
+            "w_k": w_hat,
+            "a_k": a_hat,
+        }
+
         # FEJ: linearization start is (R_fej, p_fej, v_fej) — which only
         # differs from the value on the first interval after an EKF
         # update; the endpoint is the value-propagated mean. This matches
         # the reference, which sets value==fej after every interval
         # (`Propagator.cpp:473-479`).
         F, G = _f_and_g_discrete(
-            R_fej, p_fej, v_fej, new_q, new_p, new_v, w_hat, a_hat, safe_dt, gravity, dtype
+            R_fej,
+            p_fej,
+            v_fej,
+            new_q,
+            new_p,
+            new_v,
+            w_hat,
+            a_hat,
+            safe_dt,
+            gravity,
+            dtype,
+            layout=layout,
+            intr=intr,
         )
-        eye = jnp.eye(15, dtype=dtype)
+        eye = jnp.eye(15, 15 + s, dtype=dtype)
         F = jnp.where(has, F, eye)
         G = jnp.where(has, G, jnp.zeros_like(G))
 
@@ -183,8 +338,15 @@ def propagate_mean_cov(
         Qd_i = (G * qc[None, :]) @ G.T
         Qd_i = 0.5 * (Qd_i + Qd_i.T)
 
-        new_Phi = F @ Phi
-        new_Qd = F @ Qd @ F.T + Qd_i
+        # Phi over the contiguous [imu(15) | intr(s)] block is
+        # [[Phi_ii, Phi_ik], [0, I]]; only the top (15, 15+s) rows are
+        # carried (the intrinsics rows are constant identity):
+        #   Phi_ii' = F_ii Phi_ii ;  Phi_ik' = F_ii Phi_ik + F_ik
+        F_ii = F[:, :15]
+        new_Phi = F_ii @ Phi
+        if s > 0:
+            new_Phi = new_Phi.at[:, 15:].add(F[:, 15:])
+        new_Qd = F_ii @ Qd @ F_ii.T + Qd_i
         # after each interval fej == value (reference behavior)
         return (
             new_q,
@@ -212,7 +374,7 @@ def propagate_mean_cov(
         Rf0,
         pf0,
         vf0,
-        jnp.eye(15, dtype=dtype),
+        jnp.eye(15, 15 + s, dtype=dtype),
         jnp.zeros((15, 15), dtype=dtype),
     )
     (q, p, v, _, _, _, Phi, Qd), w_hats = jax.lax.scan(body, init, inps)
@@ -231,7 +393,9 @@ def propagate_mean_cov(
     return new_state, w_hats[-1]
 
 
-def propagate_mean_only(state, imu_t, imu_w, imu_a, gravity_mag: float):
+def propagate_mean_only(
+    state, imu_t, imu_w, imu_a, gravity_mag: float, imu_model: int = IMU_MODEL_KALIBR
+):
     """Mean-only RK4 propagation (no covariance) — the
     `fast_state_propagate` path for IMU-rate odometry output
     (`Propagator.cpp:140-267`). Returns (q, p, v) at imu_t[-1]."""
@@ -240,14 +404,31 @@ def propagate_mean_only(state, imu_t, imu_w, imu_a, gravity_mag: float):
     bg, ba = state.bg, state.ba
     imu_w = imu_w.astype(dtype)
     imu_a = imu_a.astype(dtype)
+    RwDw = quat_to_rot(state.calib_imu_gq.astype(dtype)) @ dm_matrix(
+        state.calib_imu_dw.astype(dtype), imu_model
+    )
+    RaDa = quat_to_rot(state.calib_imu_aq.astype(dtype)) @ dm_matrix(
+        state.calib_imu_da.astype(dtype), imu_model
+    )
+    TgM = tg_matrix(state.calib_imu_tg.astype(dtype))
 
     def body(carry, inp):
         q, p, v = carry
         t1, w1m, a1m, t2, w2m, a2m = inp
         dt = (t2 - t1).astype(dtype)
         has = dt > 0
+        a1 = RaDa @ (a1m - ba)
+        a2 = RaDa @ (a2m - ba)
         new_q, new_p, new_v = _rk4_mean(
-            q, p, v, w1m - bg, a1m - ba, w2m - bg, a2m - ba, dt, gravity
+            q,
+            p,
+            v,
+            RwDw @ (w1m - bg - TgM @ a1),
+            a1,
+            RwDw @ (w2m - bg - TgM @ a2),
+            a2,
+            dt,
+            gravity,
         )
         return (
             jnp.where(has, new_q, q),

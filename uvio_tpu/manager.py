@@ -72,6 +72,17 @@ class VioConfig:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_cam_timeoffset: bool = False
+    # IMU intrinsic calibration (StateOptions do_calib_imu_intrinsics /
+    # do_calib_imu_g_sensitivity / imu_model, `StateOptions.h:41-56`)
+    calib_imu_intrinsics: bool = False
+    calib_imu_g_sensitivity: bool = False
+    imu_model: int = 0  # 0 = kalibr, 1 = rpng
+    # seed values (None = perfect/identity); 6-vec dw/da, 9-vec tg, quats
+    imu_dw: np.ndarray = None
+    imu_da: np.ndarray = None
+    imu_tg: np.ndarray = None
+    imu_gq: np.ndarray = None
+    imu_aq: np.ndarray = None
     # compute precision for everything except the time axis
     dtype: str = "float64"
     # prior std-devs for online calibration states (when enabled)
@@ -79,6 +90,9 @@ class VioConfig:
     calib_pose_prior_pos: float = 0.01  # m
     calib_intr_prior: float = 1.0  # focal/center px, distortion abs
     calib_dt_prior: float = 0.01  # s
+    calib_imu_dm_prior: float = 0.01  # Dw/Da entries (unitless scale)
+    calib_imu_tg_prior: float = 0.01  # g-sensitivity entries
+    calib_imu_th_prior: float = 0.017  # gyro/acc frame rotation (rad)
     # initialization
     use_static_init: bool = False
     init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
@@ -104,6 +118,9 @@ class VioManager:
             calib_cam_timeoffset=cfg.calib_cam_timeoffset,
             calib_cam_pose=cfg.calib_cam_pose,
             calib_cam_intrinsics=cfg.calib_cam_intrinsics,
+            calib_imu_intrinsics=cfg.calib_imu_intrinsics,
+            calib_imu_g_sensitivity=cfg.calib_imu_g_sensitivity,
+            imu_model=cfg.imu_model,
             slam_rep=cfg.feat_rep_slam,
             max_imu_batch=cfg.max_imu_batch,
         )
@@ -117,6 +134,31 @@ class VioManager:
                 np.stack([c.intrinsics for c in cfg.cameras]), self.dtype
             ),
         )
+        # seed IMU intrinsic values from config (identity when None)
+        if cfg.imu_dw is not None:
+            s = s.replace(calib_imu_dw=jnp.asarray(cfg.imu_dw, self.dtype))
+        if cfg.imu_da is not None:
+            s = s.replace(calib_imu_da=jnp.asarray(cfg.imu_da, self.dtype))
+        if cfg.imu_tg is not None:
+            s = s.replace(calib_imu_tg=jnp.asarray(cfg.imu_tg, self.dtype))
+        if cfg.imu_gq is not None:
+            s = s.replace(calib_imu_gq=jnp.asarray(cfg.imu_gq, self.dtype))
+        if cfg.imu_aq is not None:
+            s = s.replace(calib_imu_aq=jnp.asarray(cfg.imu_aq, self.dtype))
+        if cfg.calib_imu_intrinsics:
+            from .filter.ekf import set_block_covariance
+
+            L = self.layout
+            blk = np.diag(
+                [cfg.calib_imu_dm_prior**2] * 12
+                + ([cfg.calib_imu_tg_prior**2] * 9 if cfg.calib_imu_g_sensitivity else [])
+                + [cfg.calib_imu_th_prior**2] * 3
+            )
+            s = s.replace(
+                cov=set_block_covariance(
+                    s.cov, jnp.int32(L.imu_intr_off), jnp.asarray(blk, self.dtype)
+                )
+            )
         # seed priors for enabled calibration states (the reference puts
         # these in the initial covariance at construction)
         if cfg.calib_cam_pose or cfg.calib_cam_intrinsics or cfg.calib_cam_timeoffset:
@@ -737,7 +779,11 @@ class VioManager:
 
         if not hasattr(self, "_jit_fast_prop"):
             self._jit_fast_prop = jax.jit(
-                partial(propagate_mean_only, gravity_mag=self.cfg.gravity_mag)
+                partial(
+                    propagate_mean_only,
+                    gravity_mag=self.cfg.gravity_mag,
+                    imu_model=self.cfg.imu_model,
+                )
             )
         tt, ww, aa = select_imu_readings_np(
             np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),

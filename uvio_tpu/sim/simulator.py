@@ -61,6 +61,15 @@ class SimParams:
     uwb_freq: float = 20.0
     sigma_range: float = 0.1
     uwb_p_IinU: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    # true IMU intrinsics (None = perfect IMU). Measurement model inverse
+    # of `Propagator.cpp:403-429` (reference Simulator.cpp:283-330):
+    #   a_m = Da^-1 R_AtoI^T a_I + ba + n ; w_m = Dw^-1 R_WtoI^T w_I + bg + Tg a_I + n
+    imu_model: int = 0  # 0 = kalibr, 1 = rpng (Dm triangle fill)
+    imu_dw: Optional[np.ndarray] = None  # (6,)
+    imu_da: Optional[np.ndarray] = None  # (6,)
+    imu_tg: Optional[np.ndarray] = None  # (9,)
+    imu_gq: Optional[np.ndarray] = None  # (4,) q_GYROtoIMU
+    imu_aq: Optional[np.ndarray] = None  # (4,) q_ACCtoIMU
 
 
 def circle_trajectory(
@@ -158,6 +167,33 @@ class Simulator:
         self.rng_uwb = np.random.default_rng(params.seed + 50)
         self.true_bg = np.zeros(3)
         self.true_ba = np.zeros(3)
+
+        # precomputed inverse intrinsic maps for measurement generation
+        def _dm(vec):
+            m = np.eye(3)
+            if vec is None:
+                return m
+            v = np.asarray(vec, float)
+            if params.imu_model == 0:  # kalibr: lower triangular
+                m = np.array([[v[0], 0, 0], [v[1], v[3], 0], [v[2], v[4], v[5]]])
+            else:  # rpng: upper triangular
+                m = np.array([[v[0], v[1], v[3]], [0, v[2], v[4]], [0, 0, v[5]]])
+            return m
+
+        def _rot(q):
+            if q is None:
+                return np.eye(3)
+            return np.asarray(quat_to_rot(jnp.asarray(np.asarray(q, float))))
+
+        self._Dw_inv = np.linalg.inv(_dm(params.imu_dw))
+        self._Da_inv = np.linalg.inv(_dm(params.imu_da))
+        self._Tg = (
+            np.asarray(params.imu_tg, float).reshape(3, 3).T
+            if params.imu_tg is not None
+            else np.zeros((3, 3))
+        )
+        self._R_w_T = _rot(params.imu_gq).T
+        self._R_a_T = _rot(params.imu_aq).T
         # bias history for groundtruth lookup (timestamp -> bias)
         self.bias_hist: List[Tuple[float, np.ndarray, np.ndarray]] = [
             (self.cur_imu_t, self.true_bg.copy(), self.true_ba.copy())
@@ -233,8 +269,19 @@ class Simulator:
         self.true_bg = self.true_bg + p.sigma_wb * np.sqrt(dt) * self.rng_imu.standard_normal(3)
         self.true_ba = self.true_ba + p.sigma_ab * np.sqrt(dt) * self.rng_imu.standard_normal(3)
         self.bias_hist.append((t, self.true_bg.copy(), self.true_ba.copy()))
-        wm = w_IinI + self.true_bg + p.sigma_w / np.sqrt(dt) * self.rng_imu.standard_normal(3)
-        am = accel_inI + self.true_ba + p.sigma_a / np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        # apply inverse intrinsics (identity for a perfect IMU):
+        # w_m = Dw^-1 R_W^T w_I + bg + Tg a_I + n ;  a_m = Da^-1 R_A^T a_I + ba + n
+        wm = (
+            self._Dw_inv @ (self._R_w_T @ w_IinI)
+            + self.true_bg
+            + self._Tg @ accel_inI
+            + p.sigma_w / np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        )
+        am = (
+            self._Da_inv @ (self._R_a_T @ accel_inI)
+            + self.true_ba
+            + p.sigma_a / np.sqrt(dt) * self.rng_imu.standard_normal(3)
+        )
         return t, wm, am
 
     def render_image(self, t: float, cam_idx: int = 0, blob_sigma: float = 1.2):

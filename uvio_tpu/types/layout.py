@@ -6,7 +6,7 @@ The reference tracks covariance indices dynamically on pointer-based
 state layout must be static: this module fixes, per configuration, a
 flat error-state vector of dimension `dim`:
 
-    [ imu(15) | calib | clones(6*K) | slam(3*S) | anchors(5*A) ]
+    [ imu(15) | imu_intr(0|15|24) | calib | clones(6*K) | slam(3*S) | anchors(5*A) ]
 
 with presence masks in the mean pytree instead of insertion/deletion:
 
@@ -19,11 +19,22 @@ imu error order (matches the reference IMU type, `ov_core/src/types/IMU.h`):
 theta(3) p(3) v(3) bg(3) ba(3). Clone error: theta(3) p(3) (PoseJPL).
 Anchor error: p_AinG(3) const_bias(1) dist_bias(1) (`uvio/src/types/
 UWB_anchor.h`).
+
+IMU intrinsics (scale/misalignment/g-sensitivity calibration,
+`State::Dm/Tg`, `State.h:91-135`): when `calib_imu_intrinsics` the
+error state gains dw(6) da(6) [tg(9) if g-sensitivity] theta_imu(3),
+placed DIRECTLY after the 15-dof IMU block so propagation touches one
+contiguous leading block. theta_imu is the gyro-to-IMU frame rotation
+for the KALIBR model and the acc-to-IMU rotation for RPNG (the
+reference estimates exactly one per model, `Propagator.cpp:836-870`).
 """
 
 from __future__ import annotations
 
 import dataclasses
+
+IMU_MODEL_KALIBR = 0
+IMU_MODEL_RPNG = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +50,11 @@ class StateLayout:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_uwb_extrinsics: bool = False
+    # IMU intrinsic calibration (Dw/Da scale+misalignment, optional Tg
+    # g-sensitivity, one gyro/acc frame rotation per model)
+    calib_imu_intrinsics: bool = False
+    calib_imu_g_sensitivity: bool = False
+    imu_model: int = IMU_MODEL_KALIBR
     # SLAM landmark representation (update/representations.py constants:
     # 0 = GLOBAL_3D, 1 = ANCHORED_MSCKF_INVERSE_DEPTH)
     slam_rep: int = 0
@@ -70,9 +86,37 @@ class StateLayout:
     def ba_off(self) -> int:
         return 12
 
+    # ---- IMU intrinsics block (directly after the IMU block) ----
+    @property
+    def imu_intr_off(self) -> int:
+        return 15
+
+    @property
+    def imu_dw_off(self) -> int:
+        return 15
+
+    @property
+    def imu_da_off(self) -> int:
+        return 21
+
+    @property
+    def imu_tg_off(self) -> int:
+        return 27
+
+    @property
+    def imu_theta_off(self) -> int:
+        """Gyro-to-IMU (kalibr) / acc-to-IMU (rpng) rotation error."""
+        return 27 + (9 if self.calib_imu_g_sensitivity else 0)
+
+    @property
+    def imu_intr_dim(self) -> int:
+        if not self.calib_imu_intrinsics:
+            return 0
+        return 15 + (9 if self.calib_imu_g_sensitivity else 0)
+
     @property
     def calib_off(self) -> int:
-        return 15
+        return 15 + self.imu_intr_dim
 
     @property
     def calib_dt_off(self) -> int:

@@ -22,7 +22,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from .layout import StateLayout
+from .layout import IMU_MODEL_KALIBR, StateLayout
+
+
+def dm_identity(imu_model: int):
+    """The 6-vector whose `Dm` triangular fill is the identity matrix
+    (KALIBR lower / RPNG upper column-wise fill, `State.h:91-102`)."""
+    if imu_model == IMU_MODEL_KALIBR:
+        return [1.0, 0.0, 0.0, 1.0, 0.0, 1.0]
+    return [1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
 
 
 @struct.dataclass
@@ -58,6 +66,16 @@ class FilterState:
     slam_id: jnp.ndarray  # (S,) int32 feature id (-1 = free)
     slam_anchor_slot: jnp.ndarray  # (S,) int32 anchor clone slot
     slam_anchor_cam: jnp.ndarray  # (S,) int32 anchor camera
+
+    # IMU intrinsics: Dw/Da 6-vectors (State::Dm triangular fill),
+    # Tg 9-vector (column-wise), and the gyro/acc frame rotations
+    # q_GYROtoIMU / q_ACCtoIMU (only the model-appropriate one carries
+    # error-state dofs; both may be seeded from config)
+    calib_imu_dw: jnp.ndarray  # (6,)
+    calib_imu_da: jnp.ndarray  # (6,)
+    calib_imu_tg: jnp.ndarray  # (9,)
+    calib_imu_gq: jnp.ndarray  # (4,) q_GYROtoIMU
+    calib_imu_aq: jnp.ndarray  # (4,) q_ACCtoIMU
 
     # calibration states
     calib_dt: jnp.ndarray  # () camera-IMU time offset
@@ -109,6 +127,11 @@ def init_state(layout: StateLayout, dtype=jnp.float64) -> FilterState:
         slam_id=jnp.full((S,), -1, dtype=jnp.int32),
         slam_anchor_slot=jnp.zeros((S,), dtype=jnp.int32),
         slam_anchor_cam=jnp.zeros((S,), dtype=jnp.int32),
+        calib_imu_dw=jnp.asarray(dm_identity(layout.imu_model), dtype=dtype),
+        calib_imu_da=jnp.asarray(dm_identity(layout.imu_model), dtype=dtype),
+        calib_imu_tg=jnp.zeros(9, dtype=dtype),
+        calib_imu_gq=q0,
+        calib_imu_aq=q0,
         calib_dt=jnp.array(0.0, dtype=dtype),
         calib_cam_q=jnp.tile(q0, (C, 1)),
         calib_cam_p=jnp.zeros((C, 3), dtype=dtype),

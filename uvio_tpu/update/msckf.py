@@ -131,7 +131,8 @@ def feature_system(
     # placement is a one-hot einsum — one fused op instead of an
     # unrolled update chain (matters for TPU compile time)
     lead = (F, K, C, 2)
-    blocks = [jnp.zeros(lead + (15,), dtype)]  # imu columns (no direct dep)
+    # imu (+imu-intrinsics) columns: no direct visual dependence
+    blocks = [jnp.zeros(lead + (L.calib_off,), dtype)]
     if L.calib_cam_timeoffset:
         blocks.append(jnp.zeros(lead + (1,), dtype))
     if L.calib_cam_pose:

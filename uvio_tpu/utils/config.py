@@ -65,6 +65,48 @@ def _parse_cameras(cam_chain: dict, max_cameras: int):
     return cams
 
 
+def _parse_imu_intrinsics(cfg, imu0):
+    """kalibr imu-chain intrinsics -> VioConfig fields.
+
+    Mirrors `VioManagerOptions.h:306-350`: Dw = Tw^-1, Da = Ta^-1,
+    R_GYROtoIMU = R_IMUtoGYRO^T, triangular vec extraction per model,
+    Tg column-wise."""
+    model_s = str(imu0.get("model", "kalibr")).lower()
+    model = 1 if model_s == "rpng" else 0
+    out = dict(
+        calib_imu_intrinsics=bool(cfg.get("calib_imu_intrinsics", False)),
+        calib_imu_g_sensitivity=bool(cfg.get("calib_imu_g_sensitivity", False)),
+        imu_model=model,
+    )
+
+    def mat(key):
+        v = imu0.get(key)
+        return None if v is None else np.asarray(v, float)
+
+    Tw, Ta, Tg = mat("Tw"), mat("Ta"), mat("Tg")
+    R_ItoG, R_ItoA = mat("R_IMUtoGYRO"), mat("R_IMUtoACC")
+
+    def dm_vec(T):
+        D = np.linalg.inv(T)
+        if model == 0:  # kalibr lower triangle, column-wise
+            return np.array([D[0, 0], D[1, 0], D[2, 0], D[1, 1], D[2, 1], D[2, 2]])
+        return np.array([D[0, 0], D[0, 1], D[1, 1], D[0, 2], D[1, 2], D[2, 2]])
+
+    from ..math import rot_to_quat
+
+    if Tw is not None:
+        out["imu_dw"] = dm_vec(Tw)
+    if Ta is not None:
+        out["imu_da"] = dm_vec(Ta)
+    if Tg is not None:
+        out["imu_tg"] = np.asarray(Tg).T.reshape(-1)  # column-wise 9-vector
+    if R_ItoG is not None:
+        out["imu_gq"] = np.asarray(rot_to_quat(jnp.asarray(R_ItoG.T)))
+    if R_ItoA is not None:
+        out["imu_aq"] = np.asarray(rot_to_quat(jnp.asarray(R_ItoA.T)))
+    return out
+
+
 def load_config(config_path: str):
     """Load `estimator_config.yaml` (or its directory) into a VioConfig
     (or UVioConfig when a uwb_config.yaml is present).
@@ -126,6 +168,7 @@ def load_config(config_path: str):
         init_max_disparity=float(cfg.get("init_max_disparity", 10.0)),
         use_dynamic_init=bool(cfg.get("init_dyn_use", False)),
     )
+    common.update(_parse_imu_intrinsics(cfg, imu0))
 
     extras = {
         "num_pts": int(cfg.get("num_pts", 150)),
