@@ -84,3 +84,19 @@ class FeatureDatabase:
 
     def __len__(self):
         return len(self.features)
+
+    # -- serialization (checkpoint/resume) --------------------------------
+    def to_dict(self) -> dict:
+        return {
+            str(i): {str(c): lst for c, lst in f.obs.items()}
+            for i, f in self.features.items()
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FeatureDatabase":
+        db = cls()
+        for i, obs in d.items():
+            f = Feature(int(i))
+            f.obs = {int(c): [tuple(o) for o in lst] for c, lst in obs.items()}
+            db.features[int(i)] = f
+        return db

@@ -72,6 +72,8 @@ class VioConfig:
     calib_cam_pose: bool = False
     calib_cam_intrinsics: bool = False
     calib_cam_timeoffset: bool = False
+    # camera-IMU time offset seed value (`calib_camimu_dt` yaml key)
+    camimu_dt: float = 0.0
     # IMU intrinsic calibration (StateOptions do_calib_imu_intrinsics /
     # do_calib_imu_g_sensitivity / imu_model, `StateOptions.h:41-56`)
     calib_imu_intrinsics: bool = False
@@ -133,6 +135,7 @@ class VioManager:
             calib_cam_intr=jnp.asarray(
                 np.stack([c.intrinsics for c in cfg.cameras]), self.dtype
             ),
+            calib_dt=jnp.asarray(cfg.camimu_dt, self.dtype),
         )
         # seed IMU intrinsic values from config (identity when None)
         if cfg.imu_dw is not None:
@@ -523,7 +526,15 @@ class VioManager:
                 self._try_dynamic_init(t)
             return
         if t <= float(self.state.time):
-            return  # out-of-order frame: drop (reference warns+drops)
+            # out-of-order frame: warn + drop (`VioManager.cpp:329-334`)
+            from .utils.logger import print_warning
+
+            print_warning(
+                "image at t=%.6f is older than state time %.6f: dropped",
+                t,
+                float(self.state.time),
+            )
+            return
         if self.cfg.try_zupt and self._try_zupt(t):
             self._last_frame_t = t
             return  # motion frozen: no clone, no visual update this frame
@@ -807,3 +818,45 @@ class VioManager:
     def get_pose(self):
         """Current (q_GtoI, p_IinG) estimate as numpy."""
         return np.asarray(self.state.q), np.asarray(self.state.p)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        """Snapshot the full estimator (device pytree + host mirror) to
+        one .npz. The reference cannot do this (SURVEY.md §5:
+        checkpoint/resume "None"); here the estimator is a pytree, so a
+        restart resumes exactly where it left off."""
+        from .utils.checkpoint import save_state
+
+        meta = {
+            "is_initialized": bool(self.is_initialized),
+            "head": int(self._head),
+            "slot_times": {str(k): float(v) for k, v in self.slot_times.items()},
+            "last_frame_t": float(getattr(self, "_last_frame_t", 0.0)),
+            "imu_t": [float(t) for t in self._imu_t[-64:]],
+            "imu_w": [list(map(float, w)) for w in self._imu_w[-64:]],
+            "imu_a": [list(map(float, a)) for a in self._imu_a[-64:]],
+            "db": self.db.to_dict(),
+            "slam_slot_by_fid": {str(k): v for k, v in self.slam_slot_by_fid.items()},
+            "slam_fail": {str(k): v for k, v in self.slam_fail.items()},
+            "slam_consumed_t": {str(k): v for k, v in self.slam_consumed_t.items()},
+        }
+        save_state(path, self.state, meta)
+
+    def load_checkpoint(self, path: str):
+        """Restore a `save_checkpoint` snapshot into this manager (must
+        be constructed with the same config/layout)."""
+        from .utils.checkpoint import load_state
+
+        state, meta = load_state(path, self.state)
+        self.state = state
+        self.is_initialized = meta["is_initialized"]
+        self._head = meta["head"]
+        self.slot_times = {int(k): v for k, v in meta["slot_times"].items()}
+        self._last_frame_t = meta["last_frame_t"]
+        self._imu_t = list(meta["imu_t"])
+        self._imu_w = [np.asarray(w) for w in meta["imu_w"]]
+        self._imu_a = [np.asarray(a) for a in meta["imu_a"]]
+        self.db = FeatureDatabase.from_dict(meta.get("db", {}))
+        self.slam_slot_by_fid = {int(k): int(v) for k, v in meta.get("slam_slot_by_fid", {}).items()}
+        self.slam_fail = {int(k): int(v) for k, v in meta.get("slam_fail", {}).items()}
+        self.slam_consumed_t = {int(k): float(v) for k, v in meta.get("slam_consumed_t", {}).items()}

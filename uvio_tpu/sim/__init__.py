@@ -1,4 +1,11 @@
-from .simulator import SimCamera, SimParams, Simulator, circle_trajectory, load_tum_trajectory
+from .simulator import (
+    SimCamera,
+    SimParams,
+    Simulator,
+    circle_trajectory,
+    load_tum_trajectory,
+    perturb_calibration,
+)
 
 __all__ = [
     "SimCamera",
@@ -6,4 +13,5 @@ __all__ = [
     "Simulator",
     "circle_trajectory",
     "load_tum_trajectory",
+    "perturb_calibration",
 ]

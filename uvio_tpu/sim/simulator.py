@@ -378,3 +378,59 @@ class Simulator:
             uvs = uvs + p.sigma_pix * self.rng_cams[ci].standard_normal(uvs.shape)
             out.append((ids, uvs))
         return t, out
+
+
+def perturb_calibration(cfg, seed: int = 0):
+    """Return a copy of a VioConfig with its calibration states perturbed
+    by the reference's std-devs (`Simulator::perturb_parameters`,
+    `Simulator.cpp:209-266`): dt 0.01 s; cam focal/center 1.0 px,
+    distortion 0.005; cam extrinsic rotation 0.001 rad / position
+    0.01 m; IMU Dw/Da 0.004, frame rotation 0.002 rad, Tg 0.004 —
+    IMU blocks only when the matching calib toggle is on, exactly like
+    the reference.
+
+    Use for calibration-error experiments: run the simulator with true
+    parameters and the estimator with `perturb_calibration(cfg)`.
+    """
+    import dataclasses as _dc
+
+    from ..math import exp_so3, quat_multiply, rot_to_quat
+
+    rng = np.random.default_rng(seed)
+
+    def rotate_quat(q, std):
+        dq = rot_to_quat(exp_so3(jnp.asarray(std * rng.standard_normal(3))))
+        return np.asarray(quat_multiply(dq, jnp.asarray(np.asarray(q, float))))
+
+    new_cams = []
+    dt = float(getattr(cfg, "camimu_dt", 0.0)) + 0.01 * rng.standard_normal()
+    for cam in cfg.cameras:
+        intr = np.asarray(cam.intrinsics, float).copy()
+        intr[:4] += 1.0 * rng.standard_normal(4)
+        intr[4:8] += 0.005 * rng.standard_normal(4)
+        q = rotate_quat(cam.q_ItoC, 0.001)
+        p = np.asarray(cam.p_IinC, float) + 0.01 * rng.standard_normal(3)
+        new_cams.append(_dc.replace(cam, intrinsics=intr, q_ItoC=q, p_IinC=p))
+
+    out = _dc.replace(cfg, cameras=new_cams, camimu_dt=dt)
+    if getattr(cfg, "calib_imu_intrinsics", False):
+        from ..types.state import dm_identity
+
+        dw = np.asarray(cfg.imu_dw if cfg.imu_dw is not None else dm_identity(cfg.imu_model), float)
+        da = np.asarray(cfg.imu_da if cfg.imu_da is not None else dm_identity(cfg.imu_model), float)
+        out = _dc.replace(
+            out,
+            imu_dw=dw + 0.004 * rng.standard_normal(6),
+            imu_da=da + 0.004 * rng.standard_normal(6),
+        )
+        q0 = np.array([0.0, 0.0, 0.0, 1.0])
+        if cfg.imu_model == 0:  # kalibr: gyro frame
+            gq = cfg.imu_gq if cfg.imu_gq is not None else q0
+            out = _dc.replace(out, imu_gq=rotate_quat(gq, 0.002))
+        else:  # rpng: acc frame
+            aq = cfg.imu_aq if cfg.imu_aq is not None else q0
+            out = _dc.replace(out, imu_aq=rotate_quat(aq, 0.002))
+    if getattr(cfg, "calib_imu_g_sensitivity", False):
+        tg = np.asarray(cfg.imu_tg if cfg.imu_tg is not None else np.zeros(9), float)
+        out = _dc.replace(out, imu_tg=tg + 0.004 * rng.standard_normal(9))
+    return out

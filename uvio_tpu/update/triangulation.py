@@ -79,6 +79,52 @@ def triangulate_linear(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0,
     return jnp.where(ok, p, jnp.zeros(3, p.dtype)), ok
 
 
+def triangulate_1d(uvn, mask, R_GtoC, p_CinG, min_depth=0.1, max_depth=60.0):
+    """Depth-only (1D) triangulation along the anchor bearing.
+
+    Mirrors `single_triangulation_1d` (`FeatureInitializer.cpp:114-195`):
+    anchor = the newest valid observation; every other observation's
+    bearing, rotated into the anchor frame, contributes a scalar
+    least-squares row  ||skew(b_i) (d * b_A - p_CiinA)||^2  solved in
+    closed form for the depth d. Returns (p_FinG (3,), ok).
+
+    uvn (M,2) normalized obs, mask (M,), R_GtoC (M,3,3), p_CinG (M,3).
+    """
+    M = uvn.shape[0]
+    # anchor = last valid observation (the reference uses the newest
+    # timestamp of the most-observed camera; slots are time-ordered)
+    rev = jnp.argmax(mask[::-1])
+    a_idx = M - 1 - rev
+    R_GtoA = R_GtoC[a_idx]
+    p_AinG = p_CinG[a_idx]
+    ones = jnp.ones(uvn.shape[:-1] + (1,), uvn.dtype)
+    b_C = jnp.concatenate([uvn, ones], axis=-1)
+    b_A_anchor = b_C[a_idx] / jnp.linalg.norm(b_C[a_idx])
+
+    # all bearings into the anchor frame: b_i^A = R_AtoCi^T b_i
+    R_AtoC = jnp.einsum("mij,kj->mik", R_GtoC, R_GtoA)
+    b_inA = jnp.einsum("mji,mj->mi", R_AtoC, b_C)
+    b_inA = b_inA / jnp.maximum(jnp.linalg.norm(b_inA, axis=-1, keepdims=True), 1e-12)
+    p_CinA = jnp.einsum("ij,mj->mi", R_GtoA, p_CinG - p_AinG[None])
+
+    Bperp = skew(b_inA)  # (M,3,3)
+    Ba = jnp.einsum("mij,j->mi", Bperp, b_A_anchor)  # (M,3)
+    use = mask & (jnp.arange(M) != a_idx)
+    w = use.astype(uvn.dtype)
+    A = jnp.sum(w * jnp.sum(Ba * Ba, axis=-1))
+    b = jnp.sum(w * jnp.sum(Ba * jnp.einsum("mij,mj->mi", Bperp, p_CinA), axis=-1))
+    depth = b / jnp.where(jnp.abs(A) < 1e-12, 1.0, A)
+    p_inA = depth * b_A_anchor
+    ok = (
+        (p_inA[2] > min_depth)
+        & (p_inA[2] < max_depth)
+        & (jnp.sum(use) >= 1)
+        & jnp.all(jnp.isfinite(p_inA))
+    )
+    p_G = R_GtoA.T @ p_inA + p_AinG
+    return jnp.where(ok, p_G, jnp.zeros(3, p_G.dtype)), ok
+
+
 def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG, max_baseline=40.0):
     """Fixed-iteration GN refinement over inverse-depth coords (alpha,
     beta, rho) in the first valid camera's (anchor) frame.
@@ -136,18 +182,23 @@ def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG, max_baseline=40.0):
     return jnp.where(ok, p_new, p0), ok
 
 
-def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True, max_baseline=40.0):
+def triangulate_batch(uvn, mask, R_GtoC, p_CinG, refine=True, max_baseline=40.0, use_1d=False):
     """vmapped triangulate + refine over a feature batch.
 
     uvn (F,M,2), mask (F,M), R_GtoC (F,M,3,3) or (M,3,3) shared,
-    p_CinG likewise. Returns (p_FinG (F,3), ok (F,)).
+    p_CinG likewise. `use_1d` selects the depth-only anchor-ray solve
+    (the reference's `triangulate_1d` option). Returns
+    (p_FinG (F,3), ok (F,)).
     """
     if R_GtoC.ndim == 3:
         R_GtoC = jnp.broadcast_to(R_GtoC[None], (uvn.shape[0],) + R_GtoC.shape)
         p_CinG = jnp.broadcast_to(p_CinG[None], (uvn.shape[0],) + p_CinG.shape)
 
     def one(uvn_f, mask_f, R_f, p_f):
-        p_lin, ok_lin = triangulate_linear(uvn_f, mask_f, R_f, p_f)
+        if use_1d:
+            p_lin, ok_lin = triangulate_1d(uvn_f, mask_f, R_f, p_f)
+        else:
+            p_lin, ok_lin = triangulate_linear(uvn_f, mask_f, R_f, p_f)
         if refine:
             p_ref, ok_ref = refine_gauss_newton(
                 p_lin, uvn_f, mask_f, R_f, p_f, max_baseline=max_baseline

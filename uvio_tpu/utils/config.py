@@ -119,6 +119,13 @@ def load_config(config_path: str):
     base = os.path.dirname(config_path)
     cfg = _load_yaml(config_path)
 
+    # global print level from the config, like the reference's
+    # `verbosity` yaml key (`print.h` Printer::setPrintLevel)
+    if "verbosity" in cfg:
+        from .logger import set_verbosity
+
+        set_verbosity(str(cfg["verbosity"]))
+
     imu_chain = _load_yaml(
         os.path.join(base, cfg.get("relative_config_imu", "kalibr_imu_chain.yaml"))
     )
@@ -154,6 +161,7 @@ def load_config(config_path: str):
         calib_cam_pose=bool(cfg.get("calib_cam_extrinsics", False)),
         calib_cam_intrinsics=bool(cfg.get("calib_cam_intrinsics", False)),
         calib_cam_timeoffset=bool(cfg.get("calib_cam_timeoffset", False)),
+        camimu_dt=float(cfg.get("calib_camimu_dt", 0.0)),
         try_zupt=bool(cfg.get("try_zupt", False)),
         zupt_chi2_mult=float(cfg.get("zupt_chi2_multipler", 1.0)) or 1.0,
         zupt_max_velocity=float(cfg.get("zupt_max_velocity", 0.1)),

@@ -196,7 +196,11 @@ class UVioManager(VioManager):
         if not (self.is_initialized and self.anchors_initialized):
             return
         if t <= self._last_uwb_t:
-            return  # out-of-order: drop with warning semantics
+            # out-of-order: warn + drop (`UVioManager.cpp:70-73`)
+            from .utils.logger import print_warning
+
+            print_warning("uwb range at t=%.6f is out of order: dropped", t)
+            return
         good = {
             aid: d
             for aid, d in ranges.items()
