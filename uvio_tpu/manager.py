@@ -64,6 +64,10 @@ class VioConfig:
     max_slam_init_per_frame: int = 8
     slam_fail_marg: int = 2  # chi2 failures before landmark marginalization
     max_imu_batch: int = 64
+    # mean/covariance integration method: "discrete" | "rk4" | "analytical"
+    # (StateOptions::IntegrationMethod; rk4 and analytical share the
+    # closed-form ACI2 F/G like the reference)
+    integration: str = "rk4"
     gravity_mag: float = 9.81
     sigma_pix: float = 1.0
     chi2_mult: float = 1.0
@@ -206,7 +210,7 @@ class VioManager:
 
         self._jit_prop = jax.jit(
             partial(propagate_and_clone, layout=self.layout, noises=cfg.noises,
-                    gravity_mag=cfg.gravity_mag)
+                    gravity_mag=cfg.gravity_mag, integration=cfg.integration)
         )
         cam_model = cfg.cameras[0].model
         self._jit_msckf = jax.jit(

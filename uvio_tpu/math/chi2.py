@@ -17,7 +17,19 @@ _table = stats.chi2.ppf(0.95, np.arange(1, MAX_DOF + 1))
 CHI2_95 = jnp.asarray(np.concatenate([[_table[0]], _table]))
 
 
-def chi2_95(dof):
-    """95% chi2 quantile for (possibly traced) integer dof."""
+def chi2_95(dof, max_dof: int = 0):
+    """95% chi2 quantile for (possibly traced) integer dof.
+
+    When `max_dof` (a static bound, e.g. the padded row count) is given,
+    the lookup is a one-hot matmul against a small table slice — TPU
+    dynamic gathers lower poorly (measured ~0.5 ms for a 40-wide gather
+    on v5e vs ~0 for the matmul). Without it, falls back to a gather.
+    """
     idx = jnp.clip(dof, 1, MAX_DOF)
+    if max_dof and max_dof < MAX_DOF:
+        table = CHI2_95[: max_dof + 1].astype(jnp.result_type(float))
+        onehot = (
+            jnp.arange(max_dof + 1) == jnp.asarray(idx)[..., None]
+        ).astype(table.dtype)
+        return onehot @ table
     return CHI2_95[idx]

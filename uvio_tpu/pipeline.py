@@ -86,3 +86,46 @@ def make_batched_step(cfg: StepConfig, mesh=None):
 
     shard = NamedSharding(mesh, P("dp"))
     return jax.jit(fn, in_shardings=shard, out_shardings=shard)
+
+
+class HostPipeline:
+    """Double-buffered host->device frame ingestion.
+
+    The reference overlaps sensor ingestion with estimation via a
+    detached camera-processing thread (`UVIOROS1Visualizer.cpp:72-114`).
+    The TPU-native equivalent: while the device executes chunk k, a
+    background thread stages chunk k+1's frame tensors onto the device
+    (`jax.device_put`), so host IO/staging never blocks the device.
+
+    Usage:
+        pipe = HostPipeline(chunk_source)   # iterator of frame pytrees
+        for staged in pipe:                 # staged already on device
+            state, out = run_chunk(state, staged)
+    """
+
+    def __init__(self, chunks, device=None, depth: int = 2):
+        import queue
+        import threading
+
+        import jax
+
+        self._q = queue.Queue(maxsize=depth)
+        self._device = device or jax.devices()[0]
+        self._sentinel = object()
+
+        def worker():
+            try:
+                for c in chunks:
+                    self._q.put(jax.device_put(c, self._device))
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                return
+            yield item

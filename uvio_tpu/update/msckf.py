@@ -229,7 +229,7 @@ def chi2_gate(Hx_proj, res_proj, cov, nobs_rows, sigma_pix, chi2_mult=1.0):
 
     gamma = jax.vmap(one)(Hx_proj, res_proj)
     dof = jnp.maximum(nobs_rows - 3, 1)
-    return gamma < chi2_mult * chi2_95(dof)
+    return gamma < chi2_mult * chi2_95(dof, max_dof=Hx_proj.shape[1])
 
 
 def compress_and_update(state, layout, Hx_proj, res_proj, keep, sigma_pix):

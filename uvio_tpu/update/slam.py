@@ -100,7 +100,7 @@ def slam_update(
     gamma = jax.vmap(gamma_one)(Hx, res)
     nrows = jnp.sum(row_mask, axis=1)
     has_obs = nrows > 0
-    keep = (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1))) & has_obs
+    keep = (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1), max_dof=M)) & has_obs
 
     w = keep[:, None, None].astype(Hx.dtype)
     H_big = (Hx * w).reshape(S * M, D)
@@ -230,7 +230,7 @@ def slam_delayed_init(
         chol = jax.scipy.linalg.cho_factor(Sm, lower=True)
         gamma = r_up @ jax.scipy.linalg.cho_solve(chol, r_up)
         nrows = jnp.sum(rm_f)
-        ok = act & (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1)))
+        ok = act & (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1), max_dof=M))
         # guard invertibility (Hf_tri is upper triangular from the QR)
         ok = ok & (jnp.abs(jnp.prod(jnp.diagonal(Hf_tri))) > 1e-9)
 

@@ -164,7 +164,10 @@ def refine_gauss_newton(p0, uvn, mask, R_GtoC, p_CinG, max_baseline=40.0):
         dx = jax.scipy.linalg.cho_solve(chol, J.T @ r)
         return x - dx
 
-    x = jax.lax.fori_loop(0, _GN_ITERS, body, x)
+    # static unroll: 5 tiny GN steps fuse into one kernel (a fori_loop
+    # forces a sequential while-op per feature on TPU)
+    for i in range(_GN_ITERS):
+        x = body(i, x)
     alpha, beta, rho = x[0], x[1], x[2]
     ok = rho > 1e-4
     safe_rho = jnp.where(ok, rho, 1.0)

@@ -84,7 +84,7 @@ def zupt_try_update(
     chol = jax.scipy.linalg.cho_factor(0.5 * (S + S.T), lower=True)
     gamma = rm @ jax.scipy.linalg.cho_solve(chol, rm)
     dof = 6 * n_valid
-    accept = (gamma < chi2_mult * chi2_95(dof)) & (
+    accept = (gamma < chi2_mult * chi2_95(dof, max_dof=6 * M)) & (
         jnp.linalg.norm(state.v) < max_velocity
     )
 

@@ -162,6 +162,7 @@ def load_config(config_path: str):
         calib_cam_intrinsics=bool(cfg.get("calib_cam_intrinsics", False)),
         calib_cam_timeoffset=bool(cfg.get("calib_cam_timeoffset", False)),
         camimu_dt=float(cfg.get("calib_camimu_dt", 0.0)),
+        integration=str(cfg.get("integration", "rk4")).lower(),
         try_zupt=bool(cfg.get("try_zupt", False)),
         zupt_chi2_mult=float(cfg.get("zupt_chi2_multipler", 1.0)) or 1.0,
         zupt_max_velocity=float(cfg.get("zupt_max_velocity", 0.1)),
