@@ -42,10 +42,20 @@ _CIRCLE = [
 def fast_score(img: jnp.ndarray, thresh: float = 20.0) -> jnp.ndarray:
     """FAST-9 corner score per pixel (0 where not a corner).
 
+    On TPU dispatches to the Pallas kernel (one HBM read, bit-packed
+    arc test — see `pallas_kernels.fast_score_pallas`); elsewhere the
+    XLA fallback below: 16 shifted copies, arc contiguity via rolled
+    boolean ANDs. Both produce identical scores (unit-tested).
+
     Score = sum over the contiguous arc of |I_c - I_p| - t (OpenCV-like
-    magnitude), computed fully vectorized: 16 shifted copies, arc
-    contiguity via rolled boolean ANDs.
+    magnitude).
     """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import fast_score_pallas
+
+        return fast_score_pallas(img, float(thresh))
     H, W = img.shape
     center = img
     shifted = []
