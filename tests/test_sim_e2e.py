@@ -143,9 +143,9 @@ def test_stereo_beats_mono():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("rep", [0, 1, 2, 3])
+@pytest.mark.parametrize("rep", [0, 1, 2, 3, 4, 5])
 def test_slam_representations(rep):
-    """All four landmark representations run end-to-end with bounded error."""
+    """All six landmark representations run end-to-end with bounded error."""
     import dataclasses
 
     def run_rep():

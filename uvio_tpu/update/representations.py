@@ -2,15 +2,18 @@
 
 Equivalent of `ov_core/src/types/LandmarkRepresentation.h` +
 `UpdaterHelper::get_feature_jacobian_representation`
-(`UpdaterHelper.cpp:32-190`). Round-1 implements the two representations
-the reference's shipped configs actually use
-(`config/euroc_mav/estimator_config.yaml:24-26`):
+(`UpdaterHelper.cpp:32-190`). All six reference representations
+(`LandmarkRepresentation.h:39-45`):
 
-  * GLOBAL_3D                     — value is p_FinG directly;
-  * ANCHORED_MSCKF_INVERSE_DEPTH  — value is (alpha, beta, rho) in the
-    anchor *camera* frame (anchor = a clone slot + cam id); the
-    measurement Jacobian wrt the anchor pose is deliberately dropped
-    (the "MSCKF" flavor of inverse depth, cf. UpdaterHelper.cpp:116-130).
+  * GLOBAL_3D                      — value is p_FinG directly;
+  * ANCHORED_MSCKF_INVERSE_DEPTH   — (alpha, beta, rho) in the anchor
+    *camera* frame (anchor = a clone slot + cam id); the measurement
+    Jacobian wrt the anchor pose is deliberately dropped (the "MSCKF"
+    flavor, cf. UpdaterHelper.cpp:116-130);
+  * ANCHORED_3D                    — p_FinA in the anchor camera frame;
+  * GLOBAL_FULL_INVERSE_DEPTH      — spherical (theta, phi, rho) global;
+  * ANCHORED_FULL_INVERSE_DEPTH    — spherical in the anchor frame;
+  * ANCHORED_INVERSE_DEPTH_SINGLE  — 1-dof depth along a frozen bearing.
 
 Also provides the anchor-change transform (`UpdaterSLAM::
 change_anchors/perform_anchor_change`, UpdaterSLAM.cpp:481-560+):
@@ -33,9 +36,15 @@ GLOBAL_3D = 0
 ANCHORED_MSCKF_INVERSE_DEPTH = 1
 ANCHORED_3D = 2
 GLOBAL_FULL_INVERSE_DEPTH = 3
-# (ANCHORED_FULL_INVERSE_DEPTH = spherical-anchored and the 1-dof
-# ANCHORED_INVERSE_DEPTH_SINGLE remain on the roadmap; the four above
-# cover every representation the reference's shipped configs use.)
+# spherical (theta, phi, rho) in the anchor camera frame
+ANCHORED_FULL_INVERSE_DEPTH = 4
+# 1-dof depth-only: (alpha, beta) bearing frozen at first estimate,
+# only rho carries error-state dofs (`LandmarkRepresentation.h:45`,
+# Landmark size 1). Stored padded to 3 values; the alpha/beta rows of
+# the landmark covariance are zeroed at init and their Jacobian
+# columns/rows are zero thereafter — algebraically identical to a
+# 1-dof state block.
+ANCHORED_INVERSE_DEPTH_SINGLE = 5
 
 
 def _anchor_cam_pose(state, slot, cam, fej: bool):
@@ -121,32 +130,53 @@ def d_point_d_sphere(val):
 
 
 def is_anchored(rep: int) -> bool:
-    return rep in (ANCHORED_MSCKF_INVERSE_DEPTH, ANCHORED_3D)
+    return rep in (
+        ANCHORED_MSCKF_INVERSE_DEPTH,
+        ANCHORED_3D,
+        ANCHORED_FULL_INVERSE_DEPTH,
+        ANCHORED_INVERSE_DEPTH_SINGLE,
+    )
 
 
 def value_from_anchor_point(rep: int, p_FinA):
     """Anchor-frame point -> representation value."""
     if rep == ANCHORED_3D:
         return p_FinA
+    if rep == ANCHORED_FULL_INVERSE_DEPTH:
+        return point_to_sphere(p_FinA)
     return point_to_invdepth(p_FinA)
 
 
 def anchor_point_from_value(rep: int, val):
     if rep == ANCHORED_3D:
         return val
+    if rep == ANCHORED_FULL_INVERSE_DEPTH:
+        return sphere_to_point(val)
     return invdepth_to_point(val)
 
 
 def d_anchor_point_d_value(rep: int, val):
     if rep == ANCHORED_3D:
         return jnp.eye(3, dtype=val.dtype)
-    return d_point_d_invdepth(val)
+    if rep == ANCHORED_FULL_INVERSE_DEPTH:
+        return d_point_d_sphere(val)
+    J = d_point_d_invdepth(val)
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        # bearing frozen: only the rho column carries error
+        J = J * jnp.array([0.0, 0.0, 1.0], val.dtype)[None, :]
+    return J
 
 
 def d_value_d_anchor_point(rep: int, p_FinA):
     if rep == ANCHORED_3D:
         return jnp.eye(3, dtype=p_FinA.dtype)
-    return d_invdepth_d_point(p_FinA)
+    if rep == ANCHORED_FULL_INVERSE_DEPTH:
+        return jax.jacfwd(point_to_sphere)(p_FinA)
+    J = d_invdepth_d_point(p_FinA)
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        # only the rho row maps error back into the value
+        J = J * jnp.array([0.0, 0.0, 1.0], p_FinA.dtype)[:, None]
+    return J
 
 
 def landmark_global(state: FilterState, layout: StateLayout, fej: bool = False):

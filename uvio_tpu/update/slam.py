@@ -165,6 +165,16 @@ def slam_delayed_init(
     anchor_slot = state.clone_head
     anchor_cam = jnp.int32(0)
     rep = L.slam_rep
+    # the 1-dof depth rep initializes through the full 3-dof inverse
+    # depth chain (its own chain has a singular bearing block); the
+    # bearing dofs are frozen right after insertion below
+    from .representations import ANCHORED_INVERSE_DEPTH_SINGLE, ANCHORED_MSCKF_INVERSE_DEPTH
+
+    rep_init = (
+        ANCHORED_MSCKF_INVERSE_DEPTH
+        if rep == ANCHORED_INVERSE_DEPTH_SINGLE
+        else rep
+    )
     if is_anchored(rep):
         vals0 = jax.vmap(
             lambda p: point_to_rep(state, L, p, anchor_slot, anchor_cam)
@@ -174,7 +184,7 @@ def slam_delayed_init(
         R_GtoI_a = quat_to_rot(state.clones_q[anchor_slot])
         R_GtoC_a = R_ItoC @ R_GtoI_a
         J_chain = jax.vmap(
-            lambda v: R_GtoC_a.T @ d_anchor_point_d_value(rep, v)
+            lambda v: R_GtoC_a.T @ d_anchor_point_d_value(rep_init, v)
         )(vals0)
         H_fG = H_f
         H_f = jnp.einsum("smj,sjk->smk", H_fG, J_chain)
@@ -256,6 +266,13 @@ def slam_delayed_init(
                 jnp.full((M - 3,), sigma_pix**2, st.cov.dtype),
                 jnp.ones((M - 3,), bool),
             )
+            if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+                # freeze the bearing dofs: alpha/beta become perfectly
+                # known constants (1-dof landmark, Landmark size 1)
+                z2 = jnp.zeros((2, L.dim), st.cov.dtype)
+                cov = jax.lax.dynamic_update_slice(st.cov, z2, (off, jnp.int32(0)))
+                cov = jax.lax.dynamic_update_slice(cov, z2.T, (jnp.int32(0), off))
+                st = st.replace(cov=cov)
             return st
 
         st = jax.lax.cond(ok, do, lambda s: s, st)

@@ -144,9 +144,14 @@ def load_config(config_path: str):
     if not cameras:
         cameras = [CameraConfig()]
 
-    feat_rep = {"GLOBAL_3D": 0, "ANCHORED_MSCKF_INVERSE_DEPTH": 1}.get(
-        str(cfg.get("feat_rep_slam", "ANCHORED_MSCKF_INVERSE_DEPTH")), 1
-    )
+    feat_rep = {
+        "GLOBAL_3D": 0,
+        "ANCHORED_MSCKF_INVERSE_DEPTH": 1,
+        "ANCHORED_3D": 2,
+        "GLOBAL_FULL_INVERSE_DEPTH": 3,
+        "ANCHORED_FULL_INVERSE_DEPTH": 4,
+        "ANCHORED_INVERSE_DEPTH_SINGLE": 5,
+    }.get(str(cfg.get("feat_rep_slam", "ANCHORED_MSCKF_INVERSE_DEPTH")), 1)
 
     common = dict(
         max_clones=int(cfg.get("max_clones", 11)),
