@@ -139,3 +139,30 @@ def test_checkpoint_roundtrip(tmp_path):
                 mgr2.feed_features(*rc)
                 break
     assert np.allclose(np.asarray(mgr2.state.p), np.asarray(mgr.state.p), atol=1e-9)
+
+
+def test_native_csv_loader(tmp_path):
+    """Native CSV parser matches the python reader on numeric files."""
+    from uvio_tpu.native import load_csv
+
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "#timestamp [ns],w_x,w_y,w_z\n"
+        "1403636579758555392,0.1,-0.2,0.3\n"
+        "1403636579763555584, 0.4, 0.5, -0.6\n"
+        "\n"
+        "1403636579768555776,0.7,0.8,0.9\n"
+    )
+    arr = load_csv(str(p))
+    if arr is None:
+        pytest.skip("native toolchain unavailable")
+    assert arr.shape == (3, 4)
+    np.testing.assert_allclose(arr[1, 1:], [0.4, 0.5, -0.6])
+    # TUM-style whitespace-separated file
+    p2 = tmp_path / "gt.txt"
+    p2.write_text("# ts x y z\n1.5 0.1 0.2 0.3\n2.5 0.4 0.5 0.6\n")
+    arr2 = load_csv(str(p2))
+    assert arr2.shape == (2, 4)
+    np.testing.assert_allclose(arr2[0], [1.5, 0.1, 0.2, 0.3])
+    with pytest.raises(FileNotFoundError):
+        load_csv(str(tmp_path / "missing.csv"))

@@ -17,7 +17,10 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _BUILD = os.path.join(_HERE, "_build")
 _SO = os.path.join(_BUILD, "libuvio_native.so")
-_SRC = os.path.join(_HERE, "select_imu.cpp")
+_SRCS = [
+    os.path.join(_HERE, "select_imu.cpp"),
+    os.path.join(_HERE, "csv_loader.cpp"),
+]
 
 _lib = None
 
@@ -26,7 +29,7 @@ def _compile() -> bool:
     os.makedirs(_BUILD, exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _SO],
             check=True,
             capture_output=True,
             timeout=120,
@@ -41,7 +44,9 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+        os.path.getmtime(p) for p in _SRCS
+    ):
         if not _compile():
             return None
     try:
@@ -84,3 +89,38 @@ def select_imu_readings(times, ws, accs, t0, t1, m_max):
             f"IMU batch exceeds max_imu_batch={m_max}; raise the layout limit"
         )
     return out_t, out_w, out_a
+
+
+def load_csv(path: str):
+    """Native one-pass CSV/TUM-text parse -> (rows, cols) float64 array;
+    None if the native library is unavailable (callers fall back to the
+    Python csv reader). Skips '#'/header/blank lines; ',' or whitespace
+    separated."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = lib.uvio_csv_load
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.uvio_csv_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    lib.uvio_csv_free.restype = None
+    out = ctypes.POINTER(ctypes.c_double)()
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    rc = fn(path.encode(), ctypes.byref(out), ctypes.byref(rows), ctypes.byref(cols))
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc == -2:
+        raise ValueError(f"ragged csv rows in {path}")
+    n = rows.value * cols.value
+    if n == 0:
+        lib.uvio_csv_free(out)
+        return np.zeros((0, max(cols.value, 0)))
+    arr = np.ctypeslib.as_array(out, shape=(rows.value, cols.value)).copy()
+    lib.uvio_csv_free(out)
+    return arr

@@ -26,15 +26,31 @@ class EurocDataset:
         else:
             self.base = root
         self.cams = list(cams)
-        self.imu_rows = self._read_csv(os.path.join(self.base, imu, "data.csv"))
+        self.imu_rows = self._read_csv(
+            os.path.join(self.base, imu, "data.csv"), numeric=True
+        )
         self.cam_rows = {
             c: self._read_csv(os.path.join(self.base, c, "data.csv")) for c in self.cams
         }
         gt_path = os.path.join(self.base, "state_groundtruth_estimate0", "data.csv")
-        self.gt_rows = self._read_csv(gt_path) if os.path.exists(gt_path) else []
+        self.gt_rows = (
+            self._read_csv(gt_path, numeric=True) if os.path.exists(gt_path) else []
+        )
 
     @staticmethod
-    def _read_csv(path):
+    def _read_csv(path, numeric=False):
+        if numeric:
+            # native one-pass parser (uvio_tpu/native/csv_loader.cpp) for
+            # the all-numeric files (IMU, groundtruth); python fallback
+            # below handles everything (incl. string filename columns)
+            try:
+                from ..native import load_csv
+
+                arr = load_csv(path)
+            except (FileNotFoundError, ValueError):
+                arr = None
+            if arr is not None and len(arr):
+                return list(arr)
         rows = []
         with open(path) as f:
             for row in csv.reader(f):
