@@ -166,3 +166,42 @@ def test_native_csv_loader(tmp_path):
     np.testing.assert_allclose(arr2[0], [1.5, 0.1, 0.2, 0.3])
     with pytest.raises(FileNotFoundError):
         load_csv(str(tmp_path / "missing.csv"))
+
+
+@pytest.mark.slow
+def test_get_active_tracks():
+    """retriangulate_active_tracks equivalent: active features map near
+    their true 3D positions."""
+    from uvio_tpu.manager import CameraConfig, VioConfig, VioManager
+    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
+
+    sim = Simulator(SimParams(seed=4, num_pts=40), trajectory=circle_trajectory(duration=10.0))
+    cam = sim.params.cameras[0]
+    cfg = VioConfig(
+        max_clones=8, max_slam=6, sigma_pix=sim.params.sigma_pix,
+        cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
+                              q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)],
+    )
+    mgr = VioManager(cfg)
+    g0 = sim.get_gt_state(sim.t_start)
+    mgr.initialize_with_gt(
+        sim.t_start, g0["q_GtoI"], g0["p_IinG"], g0["v_IinG"], g0["bg"], g0["ba"]
+    )
+    frames = 0
+    while sim.ok() and frames < 25:
+        r = sim.get_next_imu()
+        if r is None:
+            break
+        t, wm, am = r
+        mgr.feed_imu(t, wm, am)
+        if sim.cur_cam_t + 0.1 <= t:
+            rc = sim.get_next_cam()
+            if rc is None:
+                break
+            mgr.feed_features(*rc)
+            frames += 1
+    ids, pts = mgr.get_active_tracks()
+    assert len(ids) >= 5
+    errs = [np.linalg.norm(pts[i] - sim.map_pts[int(ids[i])]) for i in range(len(ids))
+            if int(ids[i]) < len(sim.map_pts)]
+    assert np.median(errs) < 0.6, np.median(errs)  # viz-grade accuracy incl. drift

@@ -864,3 +864,79 @@ class VioManager:
         self.slam_slot_by_fid = {int(k): int(v) for k, v in meta.get("slam_slot_by_fid", {}).items()}
         self.slam_fail = {int(k): int(v) for k, v in meta.get("slam_fail", {}).items()}
         self.slam_consumed_t = {int(k): float(v) for k, v in meta.get("slam_consumed_t", {}).items()}
+
+    # ------------------------------------------------------------------
+    def get_active_tracks(self, t: Optional[float] = None):
+        """3D positions of features tracked into the newest frame —
+        the reference's `retriangulate_active_tracks`
+        (`VioManagerHelper.cpp:190-387`), which feeds visualization and
+        loop-closure consumers (`publish_loopclosure_information`).
+
+        Returns (ids (N,), p_FinG (N,3)) of successfully triangulated
+        active MSCKF tracks, plus all valid SLAM landmarks (their slot
+        ids are the feature ids they were promoted from).
+        """
+        from .cam import models as cam_models
+        from .update.msckf import clone_camera_poses
+        from .update.representations import landmark_global
+        from .update.triangulation import triangulate_batch
+
+        t = self._last_frame_t if t is None else t
+        feats = [
+            f for f in self.db.features_seen_at(t)
+            if f.feat_id not in self.slam_slot_by_fid
+        ]
+        ids_out, pts_out = [], []
+        if feats:
+            L = self.layout
+            K, C = L.max_clones, L.num_cams
+            uv = np.zeros((len(feats), K, C, 2))
+            mask = np.zeros((len(feats), K, C), bool)
+            time_to_slot = {tt: s for s, tt in self.slot_times.items()}
+            for i, f in enumerate(feats):
+                for cam, lst in f.obs.items():
+                    for (tt, u, v) in lst:
+                        s = time_to_slot.get(tt)
+                        if s is not None:
+                            uv[i, s, cam] = (u, v)
+                            mask[i, s, cam] = True
+            st = self.state
+            uvn = np.stack(
+                [
+                    np.asarray(
+                        cam_models.undistort(
+                            st.calib_cam_intr[c],
+                            self.cfg.cameras[c].model,
+                            jnp.asarray(uv[:, :, c, :]),
+                        )
+                    )
+                    for c in range(C)
+                ],
+                axis=2,
+            )
+            (R_val, p_val), _ = clone_camera_poses(st, L)
+            p_f, ok = triangulate_batch(
+                jnp.asarray(uvn.reshape(len(feats), K * C, 2)),
+                jnp.asarray(mask.reshape(len(feats), K * C)),
+                jnp.asarray(R_val.reshape(K * C, 3, 3)),
+                jnp.asarray(p_val.reshape(K * C, 3)),
+            )
+            ok = np.asarray(ok)
+            p_f = np.asarray(p_f)
+            for i, f in enumerate(feats):
+                if ok[i]:
+                    ids_out.append(f.feat_id)
+                    pts_out.append(p_f[i])
+        # SLAM landmarks: exact representation-chained global positions
+        if self.cfg.max_slam > 0:
+            p_glob, _ = landmark_global(self.state, self.layout)
+            p_glob = np.asarray(p_glob)
+            valid = np.asarray(self.state.slam_valid)
+            sid = np.asarray(self.state.slam_id)
+            for s in range(self.cfg.max_slam):
+                if valid[s]:
+                    ids_out.append(int(sid[s]))
+                    pts_out.append(p_glob[s])
+        if not ids_out:
+            return np.zeros(0, np.int64), np.zeros((0, 3))
+        return np.asarray(ids_out), np.stack(pts_out)
