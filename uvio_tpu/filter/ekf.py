@@ -337,3 +337,16 @@ def set_block_covariance(cov: jnp.ndarray, slot_off, block: jnp.ndarray):
     cov = _zero_rows_cols(cov, slot_off, s)
     cov = jax.lax.dynamic_update_slice(cov, block, (slot_off, slot_off))
     return cov
+
+
+def get_marginal_covariance(cov: jnp.ndarray, blocks) -> jnp.ndarray:
+    """Marginal covariance of a set of (offset, size) error-state blocks
+    (`StateHelper::get_marginal_covariance`, StateHelper.cpp:226-254):
+    the joint sub-covariance with rows/cols gathered in block order.
+
+    `blocks` is a static list of (offset, size) pairs.
+    """
+    idx = jnp.concatenate(
+        [jnp.arange(off, off + size) for off, size in blocks]
+    )
+    return cov[jnp.ix_(idx, idx)]
