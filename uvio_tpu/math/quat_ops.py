@@ -142,12 +142,24 @@ def _sinc_ratios_sq(t2):
     so neither branch produces NaN primals *or tangents* (the classic
     `jnp.where` + `norm(0)` gradient trap).
     """
-    small = t2 < 1e-12
+    # wide Taylor region (theta < 1e-3): the exact branch's SECOND
+    # derivatives carry 1/t2^(3/2) factors that overflow to NaN near the
+    # switch under TPU f64 emulation (observed at t2 ~ 1e-11 inside
+    # jacfwd(jacfwd(exp_se3))); the two extra Taylor terms keep the
+    # polynomial branch accurate to ~1e-22 at the boundary.
+    small = t2 < 1e-6
+    t2s = jnp.where(small, t2, 0.0)  # guards higher-order term overflow
     safe = jnp.sqrt(jnp.where(small, 1.0, t2))
-    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe) / safe)
-    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(safe)) / jnp.where(small, 1.0, t2))
+    a = jnp.where(small, 1.0 - t2s / 6.0 + t2s * t2s / 120.0, jnp.sin(safe) / safe)
+    b = jnp.where(
+        small,
+        0.5 - t2s / 24.0 + t2s * t2s / 720.0,
+        (1.0 - jnp.cos(safe)) / jnp.where(small, 1.0, t2),
+    )
     c = jnp.where(
-        small, 1.0 / 6.0 - t2 / 120.0, (safe - jnp.sin(safe)) / jnp.where(small, 1.0, t2 * safe)
+        small,
+        1.0 / 6.0 - t2s / 120.0 + t2s * t2s / 5040.0,
+        (safe - jnp.sin(safe)) / jnp.where(small, 1.0, t2 * safe),
     )
     return a, b, c
 

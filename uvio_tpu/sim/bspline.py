@@ -77,11 +77,29 @@ def state_at(controls: jnp.ndarray, t0: float, dt: float, t):
     Returns dict with R_GtoI, p_IinG, v_IinG, a_IinG, w_IinI
     (angular velocity in IMU frame) — what `Simulator::get_next_imu`
     consumes (`BsplineSE3::get_acceleration` equivalent).
+
+    The control-pose log terms are hoisted OUT of the differentiated
+    function: they are piecewise-constant in t, and differentiating
+    through `log_se3`'s arccos produces 0*inf = NaN when a control
+    delta lands on a non-smooth point of the primal (observed on TPU
+    f64 where transcendental rounding differs from CPU). Hoisting makes
+    the 1st/2nd jacfwd structurally safe and cheaper.
     """
+    n = controls.shape[0]
+    s0 = (t - t0) / dt
+    i1 = jnp.clip(jnp.floor(s0).astype(jnp.int32), 1, n - 3)
+    T0 = controls[i1 - 1]
+    T1 = controls[i1]
+    T2 = controls[i1 + 1]
+    T3 = controls[i1 + 2]
+    w1 = log_se3(inv_se3(T0) @ T1)
+    w2 = log_se3(inv_se3(T1) @ T2)
+    w3 = log_se3(inv_se3(T2) @ T3)
 
     def pose_fn(tt):
-        T = pose_at(controls, t0, dt, tt)
-        return T
+        u = (tt - t0) / dt - i1.astype(jnp.result_type(tt))
+        b0, b1, b2 = _basis(u)
+        return T0 @ exp_se3(b0 * w1) @ exp_se3(b1 * w2) @ exp_se3(b2 * w3)
 
     T = pose_fn(t)
     dT = jax.jacfwd(pose_fn)(t)
