@@ -147,6 +147,61 @@ def test_uvio_manager_drain():
     assert len(mgr.uwb_buffer) == 0
 
 
+def test_uvio_manager_preserves_base_config():
+    """Regression: the UVIO subclass must not lose base-config state.
+
+    Round-1 bug: UVioManager rebuilt the layout/state after the base
+    ctor and dropped slam_rep, IMU-intrinsic calibration, the estimated
+    camimu_dt seed, calibration priors, and the integration method
+    (silently forcing rk4). The layout is now built once via
+    `_layout_extras`, matching `UVioManager.cpp:26-55` which extends the
+    base state instead of replacing it.
+    """
+    from uvio_tpu.manager import CameraConfig
+    from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
+
+    cfg = UVioConfig(
+        max_clones=5,
+        max_slam=10,
+        feat_rep_slam=1,
+        calib_cam_timeoffset=True,
+        camimu_dt=0.03,
+        calib_cam_pose=True,
+        calib_imu_intrinsics=True,
+        integration="discrete",
+        max_anchors=4,
+        calib_uwb_extrinsics=True,
+        p_IinU=np.array([0.05, -0.02, 0.1]),
+        anchors=[AnchorConfig(anchor_id=7, p_AinG=np.array([1.0, 2.0, 0.5]))],
+        cameras=[CameraConfig()],
+    )
+    mgr = UVioManager(cfg)
+    L = mgr.layout
+    # layout keeps every base option AND the UWB extras
+    assert L.slam_rep == 1
+    assert L.max_slam == 10
+    assert L.calib_imu_intrinsics
+    assert L.calib_cam_timeoffset and L.calib_cam_pose
+    assert L.max_anchors == 4 and L.calib_uwb_extrinsics
+    # calib seeds survive
+    assert float(mgr.state.calib_dt) == 0.03
+    np.testing.assert_allclose(
+        np.asarray(mgr.state.uwb_p_IinU), [0.05, -0.02, 0.1]
+    )
+    # calibration priors are non-zero (were silently zeroed in round 1)
+    P = np.asarray(mgr.state.cov)
+    assert P[L.calib_dt_off, L.calib_dt_off] > 0
+    assert P[L.calib_cam_pose_off, L.calib_cam_pose_off] > 0
+    assert P[L.imu_intr_off, L.imu_intr_off] > 0
+    # anchor prior installed, UWB extrinsic prior installed
+    off = L.anchor_slot_off(mgr.anchor_slot_by_id[7])
+    assert P[off, off] > 0
+    assert P[L.calib_uwb_off, L.calib_uwb_off] > 0
+    # integration method reaches the jitted propagators
+    assert mgr._jit_prop.__wrapped__.keywords["integration"] == "discrete"
+    assert mgr._jit_prop_only.__wrapped__.keywords["integration"] == "discrete"
+
+
 def test_runtime_anchor_initialization():
     """Anchors arriving at runtime: best-determinant fixed, others
     estimated; late additions supported."""

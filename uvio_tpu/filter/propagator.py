@@ -474,6 +474,7 @@ def propagate_mean_cov(
     noises: NoiseManager,
     gravity_mag: float,
     integration: str = INTEGRATION_RK4,
+    stamp_time: jnp.ndarray = None,
 ):
     """Propagate mean+covariance through a padded IMU batch.
 
@@ -481,6 +482,13 @@ def propagate_mean_cov(
     sample pairs; padding = repeated timestamps (dt==0 -> identity).
     Returns (new_state, w_hat_last) where w_hat_last is the bias-
     corrected angular velocity at the end (for the clone dt Jacobian).
+
+    `stamp_time`: timestamp to store in the state (camera clock). When
+    the camera-IMU time offset is estimated, the IMU window endpoints
+    are in the IMU clock (`t_cam + calib_dt`) but the state keeps the
+    camera-clock stamp, exactly like `state->_timestamp = timestamp`
+    after propagating to `timestamp + t_off` (`Propagator.cpp:54-135`).
+    Defaults to imu_t[-1] (no-offset behavior).
     """
     dtype = state.cov.dtype
     gravity = jnp.array([0.0, 0.0, gravity_mag], dtype=dtype)
@@ -671,7 +679,7 @@ def propagate_mean_cov(
         p_fej=p,
         v_fej=v,
         cov=cov,
-        time=imu_t[-1],
+        time=imu_t[-1] if stamp_time is None else stamp_time,
     )
     # final corrected angular rate (for the clone time-offset Jacobian)
     return new_state, w_c[-1]
@@ -737,12 +745,14 @@ def propagate_and_clone(
     noises: NoiseManager,
     gravity_mag: float,
     integration: str = INTEGRATION_RK4,
+    stamp_time: jnp.ndarray = None,
 ) -> FilterState:
     """`Propagator::propagate_and_clone` — propagate to the newest image
-    time (imu_t[-1]) then stochastically clone."""
+    time (imu_t[-1], or `stamp_time` in the camera clock when the
+    time offset is applied) then stochastically clone."""
     new_state, w_hat = propagate_mean_cov(
         state, layout, imu_t, imu_w, imu_a, noises, gravity_mag,
-        integration=integration,
+        integration=integration, stamp_time=stamp_time,
     )
     return augment_clone(new_state, layout, w_hat)
 

@@ -115,6 +115,16 @@ class VioConfig:
 
 
 class VioManager:
+    def _layout_extras(self) -> dict:
+        """Extra StateLayout kwargs contributed by subclasses.
+
+        The UWB manager adds anchor slots + the lever-arm calib state
+        here so the layout is built correctly ONCE — the reference
+        subclass similarly extends the state at construction
+        (`UVioManager.cpp:26-55`) rather than rebuilding it.
+        """
+        return {}
+
     def __init__(self, cfg: VioConfig):
         self.cfg = cfg
         self.layout = StateLayout(
@@ -129,6 +139,7 @@ class VioManager:
             imu_model=cfg.imu_model,
             slam_rep=cfg.feat_rep_slam,
             max_imu_batch=cfg.max_imu_batch,
+            **self._layout_extras(),
         )
         self.dtype = getattr(jnp, cfg.dtype)
         s = init_state(self.layout, dtype=self.dtype)
@@ -207,6 +218,11 @@ class VioManager:
         self._head = -1
         self.last_timing = None
         self._timing_file = None
+        # camera-IMU time offset applied at the last propagation
+        # (`Propagator::last_prop_time_offset`, Propagator.cpp:54-64):
+        # IMU windows are [t_state + dt_last, t_meas + dt_now] so a
+        # changing dt estimate never skips or double-counts IMU samples.
+        self._last_prop_dt: Optional[float] = None
 
         self._jit_prop = jax.jit(
             partial(propagate_and_clone, layout=self.layout, noises=cfg.noises,
@@ -336,11 +352,14 @@ class VioManager:
         imu_t = np.zeros((P - 1, M))
         imu_w = np.zeros((P - 1, M, 3))
         imu_a = np.zeros((P - 1, M, 3))
+        # pose times are camera-clock: shift IMU windows by the seeded
+        # camera-IMU offset (the initializer uses t_img + t_off as well)
+        dt0 = float(self.state.calib_dt)
         try:
             for i in range(P - 1):
                 tt, ww, aa = select_imu_readings_np(
                     np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
-                    pose_times[i], pose_times[i + 1], M,
+                    pose_times[i] + dt0, pose_times[i + 1] + dt0, M,
                 )
                 imu_t[i], imu_w[i], imu_a[i] = tt, ww, aa
         except (ValueError, AssertionError):
@@ -435,10 +454,7 @@ class VioManager:
         t0 = float(self.state.time)
         if t <= t0:
             return False
-        tt, ww, aa = select_imu_readings_np(
-            np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
-            t0, t, self.layout.max_imu_batch,
-        )
+        tt, ww, aa, dt_now = self._select_imu_window(t)
         if not hasattr(self, "_jit_zupt"):
             self._jit_zupt = jax.jit(
                 partial(
@@ -452,10 +468,12 @@ class VioManager:
                 )
             )
         new_state, accepted, _ = self._jit_zupt(
-            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa)
+            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
+            imu_a=jnp.asarray(aa), stamp_time=jnp.asarray(t, jnp.float64),
         )
         if bool(accepted):
             self.state = new_state
+            self._last_prop_dt = dt_now
             # consumed: observations at this frozen frame can't be used
             # later (no clone exists for t) — drop them
             self.db.cleanup_older_than(t + 1e-9)
@@ -584,15 +602,34 @@ class VioManager:
         """Hook for subclasses (UVIO drains buffered UWB ranges here)."""
 
     # ------------------------------------------------------------------
-    def _propagate_clone(self, t: float):
+    def _select_imu_window(self, t1_cam: float):
+        """IMU slice for propagating the state (camera clock) to
+        `t1_cam`: endpoints shifted into the IMU clock by the estimated
+        camera-IMU offset, `time0 = t_state + dt_last`,
+        `time1 = t_meas + dt_now` (`Propagator.cpp:54-64`). Returns
+        (tt, ww, aa, dt_now); callers commit `self._last_prop_dt =
+        dt_now` once the state time actually advances."""
         t0 = float(self.state.time)
+        dt_now = float(self.state.calib_dt)
+        if self._last_prop_dt is None:
+            self._last_prop_dt = dt_now
+        time0 = t0 + self._last_prop_dt
+        # a dt estimate update can only shrink the window by ~ms; keep
+        # it strictly positive for the slicer
+        time1 = max(t1_cam + dt_now, time0 + 1e-9)
         tt, ww, aa = select_imu_readings_np(
             np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
-            t0, t, self.layout.max_imu_batch,
+            time0, time1, self.layout.max_imu_batch,
         )
+        return tt, ww, aa, dt_now
+
+    def _propagate_clone(self, t: float):
+        tt, ww, aa, dt_now = self._select_imu_window(t)
         self.state = self._jit_prop(
-            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa)
+            self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
+            imu_a=jnp.asarray(aa), stamp_time=jnp.asarray(t, jnp.float64),
         )
+        self._last_prop_dt = dt_now
         # mirror ring arithmetic
         K = self.layout.max_clones
         self._head = 0 if self._head < 0 else (self._head + 1) % K
@@ -800,10 +837,10 @@ class VioManager:
                     imu_model=self.cfg.imu_model,
                 )
             )
-        tt, ww, aa = select_imu_readings_np(
-            np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
-            t0, t, self.layout.max_imu_batch,
-        )
+        # same offset-shifted window as the filter (`fast_state_propagate`
+        # uses time0/time1 with t_off too, Propagator.cpp:148-154); the
+        # transient prediction does not commit _last_prop_dt
+        tt, ww, aa, _ = self._select_imu_window(t)
         q, p, v = self._jit_fast_prop(
             self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa)
         )
@@ -836,9 +873,14 @@ class VioManager:
             "head": int(self._head),
             "slot_times": {str(k): float(v) for k, v in self.slot_times.items()},
             "last_frame_t": float(getattr(self, "_last_frame_t", 0.0)),
-            "imu_t": [float(t) for t in self._imu_t[-64:]],
-            "imu_w": [list(map(float, w)) for w in self._imu_w[-64:]],
-            "imu_a": [list(map(float, a)) for a in self._imu_a[-64:]],
+            "last_prop_dt": (
+                float(self._last_prop_dt) if self._last_prop_dt is not None else None
+            ),
+            # keep at least one full propagation window of IMU history so
+            # the first post-restore propagation sees every reading it needs
+            "imu_t": [float(t) for t in self._imu_t[-self.cfg.max_imu_batch:]],
+            "imu_w": [list(map(float, w)) for w in self._imu_w[-self.cfg.max_imu_batch:]],
+            "imu_a": [list(map(float, a)) for a in self._imu_a[-self.cfg.max_imu_batch:]],
             "db": self.db.to_dict(),
             "slam_slot_by_fid": {str(k): v for k, v in self.slam_slot_by_fid.items()},
             "slam_fail": {str(k): v for k, v in self.slam_fail.items()},
@@ -857,6 +899,7 @@ class VioManager:
         self._head = meta["head"]
         self.slot_times = {int(k): v for k, v in meta["slot_times"].items()}
         self._last_frame_t = meta["last_frame_t"]
+        self._last_prop_dt = meta.get("last_prop_dt")
         self._imu_t = list(meta["imu_t"])
         self._imu_w = [np.asarray(w) for w in meta["imu_w"]]
         self._imu_a = [np.asarray(a) for a in meta["imu_a"]]

@@ -28,6 +28,10 @@ def chi2_95(dof, max_dof: int = 0):
     idx = jnp.clip(dof, 1, MAX_DOF)
     if max_dof and max_dof < MAX_DOF:
         table = CHI2_95[: max_dof + 1].astype(jnp.result_type(float))
+        # saturate to the largest tabulated quantile: an out-of-range dof
+        # must not produce an all-zero one-hot row (threshold 0 would
+        # silently reject every measurement at that gate)
+        idx = jnp.clip(idx, 1, max_dof)
         onehot = (
             jnp.arange(max_dof + 1) == jnp.asarray(idx)[..., None]
         ).astype(table.dtype)

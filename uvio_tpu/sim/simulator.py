@@ -79,13 +79,19 @@ def circle_trajectory(
     hz: float = 20.0,
     still_time: float = 0.0,
     lap_s: float = 20.0,
+    rate_mod: float = 0.0,
 ):
     """Procedural smooth trajectory (standalone alternative to the
     reference's `ov_data/sim` files): a circle with vertical bobbing and
     tangent-facing yaw, guaranteeing full 6-dof excitation.
 
     still_time > 0 prepends a stationary segment with a smooth ramp-in
-    (for static-init / ZUPT scenarios, like `udel_gore_zupt`)."""
+    (for static-init / ZUPT scenarios, like `udel_gore_zupt`).
+
+    rate_mod > 0 modulates the angular speed around the circle (speed-up
+    / slow-down cycles). Time-VARYING body rates make the camera-IMU
+    time offset strongly observable — at constant w/v a dt error is
+    absorbed by a consistent pose shift."""
     t = np.arange(0.0, duration, 1.0 / hz)
     if still_time > 0.0:
         phase = np.clip(t - still_time, 0.0, None)
@@ -93,6 +99,8 @@ def circle_trajectory(
         ramp = np.where(phase < 2.0, phase**2 / 4.0, phase - 1.0)
     else:
         ramp = t
+    if rate_mod > 0.0:
+        ramp = ramp + rate_mod * lap_s / (2.0 * np.pi) * np.sin(2.0 * np.pi * ramp / 5.0)
     th = 2.0 * np.pi * ramp / lap_s
     p = np.stack(
         [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2.2 * th)], axis=1

@@ -38,9 +38,12 @@ def zupt_try_update(
     chi2_mult: float = 1.0,
     noise_mult: float = 10.0,
     max_velocity: float = 0.1,
+    stamp_time: jnp.ndarray = None,
 ):
     """Returns (new_state, accepted, chi2). Applies the update only when
-    the chi2 + velocity gates pass (lax.cond inside)."""
+    the chi2 + velocity gates pass (lax.cond inside). `stamp_time` is
+    the camera-clock frame time stored on accept (imu_t spans the
+    offset-shifted IMU-clock window when dt calibration is active)."""
     L = layout
     D = L.dim
     dtype = state.cov.dtype
@@ -90,7 +93,9 @@ def zupt_try_update(
 
     def do(st):
         new_st, _ = ekf_update(st, L, Hm, rm, r_diag, rmask)
-        return new_st.replace(time=imu_t[-1])
+        return new_st.replace(
+            time=imu_t[-1] if stamp_time is None else stamp_time
+        )
 
     new_state = jax.lax.cond(accept, do, lambda s: s, state)
     return new_state, accept, gamma

@@ -24,10 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .filter.propagator import propagate_mean_cov, select_imu_readings_np
+from .filter.propagator import propagate_mean_cov
 from .manager import VioConfig, VioManager
-from .types.layout import StateLayout
-from .types.state import init_state
 from .update.uwb import uwb_update
 
 
@@ -54,31 +52,24 @@ class UVioConfig(VioConfig):
 
 
 class UVioManager(VioManager):
+    def _layout_extras(self) -> dict:
+        # anchor slots + the UWB-IMU lever-arm calib state join the
+        # layout BEFORE the base ctor builds state/priors/jits, so every
+        # base-config option (slam_rep, imu intrinsics, integration,
+        # calib seeds + priors) survives intact (UVioManager.cpp:26-55
+        # extends the base state the same way).
+        return dict(
+            max_anchors=self.ucfg.max_anchors,
+            calib_uwb_extrinsics=self.ucfg.calib_uwb_extrinsics,
+        )
+
     def __init__(self, cfg: UVioConfig):
         self.ucfg = cfg
         super().__init__(cfg)
-        # rebuild layout with anchors + uwb extrinsic
-        self.layout = StateLayout(
-            max_clones=cfg.max_clones + 1,
-            max_slam=cfg.max_slam,
-            max_anchors=cfg.max_anchors,
-            num_cams=len(cfg.cameras),
-            calib_cam_timeoffset=cfg.calib_cam_timeoffset,
-            calib_cam_pose=cfg.calib_cam_pose,
-            calib_cam_intrinsics=cfg.calib_cam_intrinsics,
-            calib_uwb_extrinsics=cfg.calib_uwb_extrinsics,
-            max_imu_batch=cfg.max_imu_batch,
+        # seed the UWB-IMU lever arm (base init_state zeroes it)
+        self.state = self.state.replace(
+            uwb_p_IinU=jnp.asarray(cfg.p_IinU, self.dtype)
         )
-        # re-init state and re-jit against the new layout
-        self._rejit()
-        s = init_state(self.layout)
-        s = s.replace(
-            calib_cam_q=self.state.calib_cam_q,
-            calib_cam_p=self.state.calib_cam_p,
-            calib_cam_intr=self.state.calib_cam_intr,
-            uwb_p_IinU=jnp.asarray(cfg.p_IinU),
-        )
-        self.state = s
         self.anchor_slot_by_id: Dict[int, int] = {}
         self.uwb_buffer: List = []  # (t, {aid: dist})
         self._last_uwb_t = -np.inf
@@ -97,39 +88,11 @@ class UVioManager(VioManager):
                 layout=self.layout,
                 noises=cfg.noises,
                 gravity_mag=cfg.gravity_mag,
+                integration=cfg.integration,
             )
         )
         if cfg.anchors:
             self.initialize_anchors(cfg.anchors)
-
-    def _rejit(self):
-        """Rebuild jitted pipeline closures against self.layout."""
-        from .filter.ekf import marginalize_clone, marginalize_slam
-        from .filter.propagator import propagate_and_clone
-        from .update.msckf import msckf_update
-        from .update.slam import slam_delayed_init, slam_update
-
-        cfg = self.cfg
-        cam_model = cfg.cameras[0].model
-        self._jit_prop = jax.jit(
-            partial(propagate_and_clone, layout=self.layout, noises=cfg.noises,
-                    gravity_mag=cfg.gravity_mag)
-        )
-        self._jit_msckf = jax.jit(
-            partial(msckf_update, layout=self.layout, cam_model=cam_model,
-                    sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
-        )
-        self._jit_marg = jax.jit(partial(marginalize_clone, layout=self.layout))
-        if cfg.max_slam > 0:
-            self._jit_slam_up = jax.jit(
-                partial(slam_update, layout=self.layout, cam_model=cam_model,
-                        sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
-            )
-            self._jit_slam_init = jax.jit(
-                partial(slam_delayed_init, layout=self.layout, cam_model=cam_model,
-                        sigma_pix=cfg.sigma_pix, chi2_mult=cfg.chi2_mult)
-            )
-            self._jit_marg_slam = jax.jit(partial(marginalize_slam, layout=self.layout))
 
     # ------------------------------------------------------------------
     def initialize_anchors(self, anchors: List[AnchorConfig]):
@@ -224,14 +187,16 @@ class UVioManager(VioManager):
                 continue
             t0 = float(self.state.time)
             if t_u > t0:
-                tt, ww, aa = select_imu_readings_np(
-                    np.asarray(self._imu_t), np.stack(self._imu_w), np.stack(self._imu_a),
-                    t0, t_u, self.layout.max_imu_batch,
-                )
+                # offset-shifted IMU window, camera-clock stamp — the
+                # reference's UVioPropagator shares last_prop_time_offset
+                # with the base propagator (UVioPropagator.cpp:80-100)
+                tt, ww, aa, dt_now = self._select_imu_window(t_u)
                 self.state, _ = self._jit_prop_only(
                     self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
                     imu_a=jnp.asarray(aa),
+                    stamp_time=jnp.asarray(t_u, jnp.float64),
                 )
+                self._last_prop_dt = dt_now
             r = np.zeros(A)
             m = np.zeros(A, bool)
             for aid, dist in ranges.items():
