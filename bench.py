@@ -1,96 +1,148 @@
-"""Benchmark: fused MSCKF filter-step throughput on one chip.
+"""Benchmark: FULL fused per-frame step throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": "filter_step_fps_per_chip", "value": N, "unit": "frames/s",
+  {"metric": "full_frame_step_fps_per_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N / 200.0}
 
 Baseline anchor: the reference is a real-time CPU system at ~20 camera
 fps (EuRoC); the driver target is >=10x real-time per chip => 200 fps
 (BASELINE.md). vs_baseline = achieved_fps / 200.
 
-Execution model: T frames are staged on-device and executed by ONE
-jitted `lax.scan` over the fused per-frame step (marginalize ->
-propagate+clone -> batched MSCKF update) — the deployment shape for
-offline/batch processing, and it amortizes host<->device dispatch.
+What is measured (round-2, VERDICT item #4): the fused FULL frame step
+(`pipeline.full_filter_step`) = the whole of the reference's per-frame
+hot path `UVioManager::track_image_and_update` + `do_feature_propagate_
+update` (UVioManager.cpp:114-205, VioManager.cpp:323-714) as one jitted
+unit: UWB range drain (propagate-no-clone + per-range updates) ->
+propagate+clone -> batched MSCKF update (40 feats) -> SLAM re-obs
+update (25 landmarks) -> SLAM delayed init -> anchor change + clone
+marginalization.
 
-Precision: f32 compute (validated against f64 on the simulator: same
-ATE, NEES ~3), f64 time axis. Config mirrors EuRoC defaults: 11-clone
-window (+1 ring slot), 40 MSCKF features, mono, 20+2 IMU samples per
-0.1 s frame padded to 24.
+Inputs are REALISTIC, not random: a seeded B-spline simulator run
+(circle trajectory, EuRoC-default noise, 200 Hz IMU / 10 Hz cam /
+20 Hz UWB, 4 biased anchors) drives the UVioManager host loop once,
+capturing the exact per-frame FrameBundles it dispatches; the bench
+then replays those bundles through one `lax.scan` (the offline/batch
+deployment shape, amortizing host dispatch). chi2 gates see real
+residuals, SLAM slots fill and re-anchor, UWB ranges accept/reject as
+in a real run.
+
+Precision: f32 compute / f64 time axis (validated on the simulator
+against f64: same ATE, consistent NEES).
 """
 
 import json
 import time
 
-import numpy as np
-
 
 def main():
+    import numpy as np
+
+    import uvio_tpu  # noqa: F401  (x64 + cache config)
     import jax
     import jax.numpy as jnp
 
-    import uvio_tpu  # noqa: F401  (x64 + cache config)
+    from uvio_tpu.manager import CameraConfig
+    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
+    from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
+
+    T_WARM, T_BENCH = 20, 100  # captured frames: warmup prefix + bench window
+
+    uwb_anchors = {
+        1: (np.array([4.0, 4.0, 2.0]), 0.15, 0.01),
+        2: (np.array([-4.0, 4.0, 0.5]), -0.1, 0.005),
+        3: (np.array([-4.0, -4.0, 2.5]), 0.2, 0.0),
+        4: (np.array([4.0, -4.0, 1.0]), 0.0, 0.02),
+    }
+    sim = Simulator(
+        SimParams(sim_freq_imu=200.0, sim_freq_cam=10.0, num_pts=60, seed=7,
+                  uwb_anchors=uwb_anchors),
+        trajectory=circle_trajectory(duration=(T_WARM + T_BENCH) / 10.0 + 8.0),
+    )
+    cam = sim.params.cameras[0]
+    rng = np.random.default_rng(1)
+    anchor_cfgs = [
+        AnchorConfig(
+            anchor_id=aid,
+            p_AinG=p + rng.normal(scale=0.05, size=3),
+            prior_cov=np.diag([0.05**2] * 3 + [0.25**2, 0.025**2]),
+        )
+        for aid, (p, g, a) in uwb_anchors.items()
+    ]
+    cfg = UVioConfig(
+        max_clones=11,
+        max_msckf_in_update=40,
+        max_slam=25,
+        sigma_pix=sim.params.sigma_pix,
+        cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
+                              q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)],
+        max_anchors=len(anchor_cfgs),
+        anchors=anchor_cfgs,
+        sigma_range=sim.params.sigma_range,
+        dtype="float32",
+    )
+    mgr = UVioManager(cfg)
+    gt0 = sim.get_gt_state(sim.t_start)
+    mgr.initialize_with_gt(sim.t_start, gt0["q_GtoI"], gt0["p_IinG"],
+                           gt0["v_IinG"], gt0["bg"], gt0["ba"])
+
+    # ---- capture the real per-frame bundles from the host loop --------
+    bundles, snap = [], {}
+    orig = mgr._jit_full
+
+    def capture(state, fb):
+        if len(bundles) == T_WARM and "state" not in snap:
+            snap["state"] = state
+        bundles.append(fb)
+        return orig(state, fb)
+
+    mgr._jit_full = capture
+    frames = 0
+    while sim.ok() and frames < T_WARM + T_BENCH:
+        r = sim.get_next_imu()
+        if r is None:
+            break
+        t, wm, am = r
+        mgr.feed_imu(t, wm, am)
+        if sim.cur_uwb_t + 1.0 / sim.params.uwb_freq <= t:
+            ru = sim.get_next_uwb()
+            if ru is not None:
+                mgr.feed_uwb(*ru)
+        if sim.cur_cam_t + 1.0 / sim.params.sim_freq_cam <= t:
+            rc = sim.get_next_cam()
+            if rc is None:
+                break
+            mgr.feed_features(*rc)
+            frames += 1
+
+    bench_bundles = bundles[T_WARM:T_WARM + T_BENCH]
+    state0 = snap["state"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bench_bundles)
     from functools import partial
 
-    from uvio_tpu.pipeline import StepConfig, filter_step
-    from uvio_tpu.types import StateLayout, init_state
+    from uvio_tpu.pipeline import full_filter_step
 
-    layout = StateLayout(max_clones=12, max_imu_batch=24, max_slam=0)
-    cfg = StepConfig(layout=layout, sigma_pix=1.0)
-    F, K, C, M = 40, layout.max_clones, layout.num_cams, layout.max_imu_batch
-    T = 100  # frames per scan dispatch
+    def run_chunk(state, fbs):
+        def body(st, fb):
+            st, infos = full_filter_step(st, fb, cfg=mgr._full_cfg)
+            return st, infos["msckf"]["num_used"]
 
-    rng = np.random.default_rng(0)
-    state = init_state(layout, dtype=jnp.float32)
-    state = state.replace(
-        time=jnp.asarray(0.0, jnp.float64),
-        cov=jnp.asarray(np.eye(layout.dim) * 1e-4, jnp.float32),
-        calib_cam_intr=jnp.asarray(
-            np.tile([458.0, 458.0, 367.0, 248.0, 0, 0, 0, 0], (C, 1)), jnp.float32
-        ),
-    )
+        return jax.lax.scan(body, state, fbs)
 
-    def stage_frames(t0):
-        dt = 0.1
-        ts = t0 + np.arange(T)[:, None] * dt + np.linspace(0, dt, M)[None, :]
-        imu_t = jnp.asarray(ts)  # (T,M) f64
-        imu_w = jnp.asarray(0.1 * rng.standard_normal((T, M, 3)), jnp.float32)
-        imu_a = jnp.asarray(
-            np.tile([0.0, 0.0, 9.81], (T, M, 1)) + 0.2 * rng.standard_normal((T, M, 3)),
-            jnp.float32,
-        )
-        uv = jnp.asarray(rng.uniform(100, 600, (T, F, K, C, 2)), jnp.float32)
-        mask = jnp.asarray(rng.uniform(size=(T, F, K, C)) < 0.6)
-        return imu_t, imu_w, imu_a, uv, mask
-
-    def run_chunk(state, frames):
-        def body(st, fr):
-            st, info = filter_step(st, *fr, cfg=cfg)
-            return st, info["num_used"]
-
-        return jax.lax.scan(body, state, frames)
-
-    # (no donation: init_state shares zero buffers between leaves, which
-    # trips XLA's double-donation check)
     run = jax.jit(run_chunk)
+    out_state, used = run(state0, stacked)
+    jax.block_until_ready(out_state.cov)  # compile + warm
 
-    frames0 = stage_frames(0.0)
-    state, _ = run(state, frames0)
-    jax.block_until_ready(state.cov)  # compile + warmup (fills window)
-
-    n_chunks = 5
-    chunks = [stage_frames(100.0 * (i + 1)) for i in range(n_chunks)]
+    n_rep = 5
     t0 = time.time()
-    for ch in chunks:
-        state, used = run(state, ch)
-    jax.block_until_ready(state.cov)
-    dt_total = time.time() - t0
-    fps = n_chunks * T / dt_total
+    for _ in range(n_rep):
+        out_state, used = run(state0, stacked)
+    jax.block_until_ready(out_state.cov)
+    fps = n_rep * T_BENCH / (time.time() - t0)
 
     print(
         json.dumps(
             {
-                "metric": "filter_step_fps_per_chip",
+                "metric": "full_frame_step_fps_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 200.0, 3),

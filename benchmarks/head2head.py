@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Head-to-head accuracy benchmark: REFERENCE estimator vs uvio_tpu on
+IDENTICAL simulated measurement streams.
+
+Protocol (VERDICT round-1 item #1):
+  1. build the reference ROS-free (benchmarks/refbuild/Makefile -> /tmp/refbuild)
+  2. for each scenario: derive a config dir from the reference's
+     config/rpng_sim (same yaml schema both sides parse), run the reference
+     `ref_head2head` driver which dumps imu.csv / cam.csv / init.txt /
+     ref_est.txt / gt.txt
+  3. replay uvio_tpu on the dumped streams (same gt init, same one-frame
+     camera buffering as run_simulation.cpp) -> tpu_est.txt
+  4. ATE (posyaw + se3 alignment, `ov_eval error_singlerun` protocol) for
+     both estimators against the simulator groundtruth.
+
+Writes benchmarks/head2head_results.json and prints a markdown table.
+
+Usage: python benchmarks/head2head.py [--seconds 45] [--scenarios mono,...]
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_CFG = "/root/reference/config/rpng_sim"
+BUILD = "/tmp/refbuild"
+TRAJ = "/root/reference/ov_data/sim/tum_corridor1_512_16_okvis.txt"
+
+sys.path.insert(0, REPO)
+
+# Scenario -> estimator_config.yaml key overrides. Schema is the reference's
+# own (`config/rpng_sim/estimator_config.yaml`); uvio_tpu's load_config parses
+# the same keys (utils/config.py), so one config drives both estimators.
+SCENARIOS = {
+    # plain mono MSCKF, no SLAM, no calibration
+    "mono": {
+        "max_cameras": "1",
+        "use_stereo": "false",
+        "max_slam": "0",
+        "calib_cam_extrinsics": "false",
+        "calib_cam_intrinsics": "false",
+        "calib_cam_timeoffset": "false",
+        "calib_imu_intrinsics": "false",
+        "calib_imu_g_sensitivity": "false",
+        "feat_rep_msckf": '"GLOBAL_3D"',
+        "max_msckf_in_update": "40",
+    },
+    # mono + SLAM landmarks, anchored inverse-depth representation
+    "mono_slam": {
+        "max_cameras": "1",
+        "use_stereo": "false",
+        "max_slam": "25",
+        "max_slam_in_update": "25",
+        "feat_rep_msckf": '"GLOBAL_3D"',
+        "feat_rep_slam": '"ANCHORED_MSCKF_INVERSE_DEPTH"',
+        "calib_cam_extrinsics": "false",
+        "calib_cam_intrinsics": "false",
+        "calib_cam_timeoffset": "false",
+        "calib_imu_intrinsics": "false",
+        "calib_imu_g_sensitivity": "false",
+        "max_msckf_in_update": "40",
+    },
+    # stereo + SLAM (reference default reps), no calibration
+    "stereo_slam": {
+        "max_cameras": "2",
+        "use_stereo": "true",
+        "max_slam": "25",
+        "max_slam_in_update": "25",
+        "feat_rep_msckf": '"GLOBAL_3D"',
+        "feat_rep_slam": '"ANCHORED_MSCKF_INVERSE_DEPTH"',
+        "calib_cam_extrinsics": "false",
+        "calib_cam_intrinsics": "false",
+        "calib_cam_timeoffset": "false",
+        "calib_imu_intrinsics": "false",
+        "calib_imu_g_sensitivity": "false",
+        "max_msckf_in_update": "40",
+    },
+    # mono with full online camera calibration (reference defaults keep the
+    # seeds at truth; tests the calib state machinery on both sides)
+    "mono_calib": {
+        "max_cameras": "1",
+        "use_stereo": "false",
+        "max_slam": "0",
+        "calib_cam_extrinsics": "true",
+        "calib_cam_intrinsics": "true",
+        "calib_cam_timeoffset": "true",
+        "calib_imu_intrinsics": "false",
+        "calib_imu_g_sensitivity": "false",
+        "feat_rep_msckf": '"GLOBAL_3D"',
+        "max_msckf_in_update": "40",
+    },
+}
+
+
+def build_reference():
+    subprocess.run(["make", "-j8"], cwd=os.path.join(REPO, "benchmarks/refbuild"),
+                   check=True, capture_output=True)
+
+
+def make_config(name, overrides):
+    cdir = f"/tmp/h2h/{name}/config"
+    os.makedirs(cdir, exist_ok=True)
+    for f in ("kalibr_imu_chain.yaml", "kalibr_imucam_chain.yaml"):
+        shutil.copy(os.path.join(REF_CFG, f), cdir)
+    text = open(os.path.join(REF_CFG, "estimator_config.yaml")).read()
+    overrides = dict(overrides)
+    overrides["sim_traj_path"] = f'"{TRAJ}"'
+    overrides["verbosity"] = '"WARNING"'
+    for k, v in overrides.items():
+        pat = re.compile(rf"^{k}:.*$", re.M)
+        if pat.search(text):
+            text = pat.sub(f"{k}: {v}", text)
+        else:
+            text += f"\n{k}: {v}\n"
+    with open(os.path.join(cdir, "estimator_config.yaml"), "w") as f:
+        f.write(text)
+    return cdir
+
+
+def run_reference(name, cdir, seconds):
+    out = f"/tmp/h2h/{name}"
+    os.makedirs(out, exist_ok=True)
+    r = subprocess.run(
+        [f"{BUILD}/ref_head2head", os.path.join(cdir, "estimator_config.yaml"),
+         out, str(seconds)],
+        capture_output=True, text=True, timeout=3600)
+    if r.returncode != 0:
+        raise RuntimeError(f"reference run failed for {name}:\n{r.stdout}\n{r.stderr}")
+    last = r.stdout.strip().splitlines()[-1]
+    stats = json.loads(last[last.index("{"):])
+    return out, stats
+
+
+def replay_uvio_tpu(name, cdir, out):
+    """Feed the dumped imu/cam streams through uvio_tpu (gt init, same
+    one-frame camera buffering as the reference's run_simulation loop)."""
+    import dataclasses
+
+    from uvio_tpu.manager import VioManager
+    from uvio_tpu.utils.config import load_config
+
+    cfg, extras = load_config(cdir)
+    cfg = dataclasses.replace(cfg, use_static_init=False, use_dynamic_init=False)
+    mgr = VioManager(cfg)
+
+    init = np.loadtxt(os.path.join(out, "init.txt"))
+    mgr.initialize_with_gt(init[0], init[1:5], init[5:8], init[8:11],
+                           init[11:14], init[14:17])
+
+    imu = np.loadtxt(os.path.join(out, "imu.csv"), delimiter=",")
+    cam = np.loadtxt(os.path.join(out, "cam.csv"), delimiter=",")
+    # group camera rows into frames: (t, [(ids, uvs) per cam])
+    frames = []
+    t_vals, idx = np.unique(cam[:, 0], return_index=True)
+    order = np.argsort(idx)
+    for t in t_vals[order]:
+        rows = cam[cam[:, 0] == t]
+        per_cam = []
+        for c in range(len(cfg.cameras)):
+            rc = rows[rows[:, 1] == c]
+            per_cam.append((rc[:, 2].astype(np.int64), rc[:, 3:5]))
+        frames.append((float(t), per_cam))
+    frames.sort(key=lambda f: f[0])
+
+    est_t, est_q, est_p = [], [], []
+    fi = 0
+    import time as _time
+    wall0 = _time.perf_counter()
+    for k in range(imu.shape[0]):
+        t = float(imu[k, 0])
+        mgr.feed_imu(t, imu[k, 1:4], imu[k, 4:7])
+        # one-frame buffer: feed frame i when frame i+1's time has passed,
+        # mirroring run_simulation.cpp's buffer_timecam handoff
+        while fi + 1 < len(frames) and frames[fi + 1][0] <= t:
+            ti, obs = frames[fi]
+            if ti > float(init[0]):
+                mgr.feed_features(ti, obs)
+                est_t.append(float(mgr.state.time))
+                est_q.append(np.asarray(mgr.state.q))
+                est_p.append(np.asarray(mgr.state.p))
+            fi += 1
+    wall = _time.perf_counter() - wall0
+    est = np.column_stack([
+        np.asarray(est_t),
+        np.asarray(est_p),
+        np.asarray(est_q),
+    ])
+    np.savetxt(os.path.join(out, "tpu_est.txt"), est, fmt="%.9f")
+    return {"frames": len(est_t), "wall_s": wall, "fps": len(est_t) / max(wall, 1e-9)}
+
+
+def evaluate(out):
+    from uvio_tpu.eval.traj import ate, load_tum
+
+    tg, qg, pg = load_tum(os.path.join(out, "gt.txt"))
+    res = {}
+    for tag, fn in (("ref", "ref_est.txt"), ("tpu", "tpu_est.txt")):
+        te, qe, pe = load_tum(os.path.join(out, fn))
+        for method in ("posyaw", "se3"):
+            r = ate(te, qe, pe, tg, qg, pg, method=method)
+            res[f"{tag}_{method}_pos_rmse"] = float(r["rmse_pos"])
+            res[f"{tag}_{method}_rot_rmse"] = float(r["rmse_ori_deg"])
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=45.0)
+    ap.add_argument("--scenarios", type=str, default=",".join(SCENARIOS))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_build:
+        build_reference()
+
+    results = {}
+    for name in args.scenarios.split(","):
+        name = name.strip()
+        cdir = make_config(name, SCENARIOS[name])
+        out, ref_stats = run_reference(name, cdir, args.seconds)
+        tpu_stats = replay_uvio_tpu(name, cdir, out)
+        res = evaluate(out)
+        res["ref_fps_cpu"] = ref_stats["fps"]
+        res["tpu_replay_fps"] = tpu_stats["fps"]
+        res["frames"] = ref_stats["frames"]
+        results[name] = res
+        print(f"[{name}] ref ATE(se3) {res['ref_se3_pos_rmse']:.4f} m / "
+              f"{res['ref_se3_rot_rmse']:.3f} deg | tpu ATE(se3) "
+              f"{res['tpu_se3_pos_rmse']:.4f} m / {res['tpu_se3_rot_rmse']:.3f} deg")
+
+    with open(os.path.join(REPO, "benchmarks/head2head_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    print("\n| scenario | ref ATE pos (m) | tpu ATE pos (m) | ref ATE rot (deg) | tpu ATE rot (deg) |")
+    print("|---|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['ref_se3_pos_rmse']:.4f} | {r['tpu_se3_pos_rmse']:.4f} "
+              f"| {r['ref_se3_rot_rmse']:.3f} | {r['tpu_se3_rot_rmse']:.3f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,9 +7,12 @@
 #pragma once
 #include <cstdio>
 #include <cstdlib>
+#include <iostream>
 #include <string>
 #include <utility>
 #include <vector>
+
+#include <Eigen/Dense>
 
 #ifndef CHECK
 #define CHECK(cond)                                                            \

@@ -112,6 +112,11 @@ class VioConfig:
     zupt_max_velocity: float = 0.1
     zupt_max_disparity: float = 0.5
     zupt_only_at_beginning: bool = False
+    # run the whole frame (UWB drain + ZUPT + propagate/clone + MSCKF +
+    # SLAM + marginalize) as ONE jitted device dispatch (pipeline.
+    # full_filter_step). False = legacy staged path with one dispatch
+    # and a host sync per stage (kept for per-stage timing/debugging).
+    fused_step: bool = True
 
 
 class VioManager:
@@ -263,6 +268,41 @@ class VioManager:
                 )
             )
             self._jit_marg_slam = jax.jit(partial(marginalize_slam, layout=self.layout))
+
+        # fused full-frame step (pipeline.full_filter_step): one device
+        # dispatch per camera frame
+        if cfg.fused_step:
+            from .pipeline import FullStepConfig, make_full_step
+
+            self._full_cfg = FullStepConfig(
+                layout=self.layout,
+                cam_model=cam_model,
+                sigma_pix=cfg.sigma_pix,
+                chi2_mult=cfg.chi2_mult,
+                gravity_mag=cfg.gravity_mag,
+                noises=cfg.noises,
+                integration=cfg.integration,
+                max_slam_init_per_frame=cfg.max_slam_init_per_frame,
+                try_zupt=cfg.try_zupt,
+                zupt_chi2_mult=cfg.zupt_chi2_mult,
+                zupt_noise_mult=cfg.zupt_noise_mult,
+                zupt_max_velocity=cfg.zupt_max_velocity,
+                **self._full_step_extras(),
+            )
+            self._jit_full = make_full_step(self._full_cfg)
+
+    # ------------------------------------------------------------------
+    def _full_step_extras(self) -> dict:
+        """FullStepConfig kwargs contributed by subclasses (UWB)."""
+        return {}
+
+    def _collect_uwb_sets(self, t_img: float):
+        """Range-sets to drain inside the fused step (<= U, oldest
+        first); overflow is handled by the subclass. Base: none."""
+        return []
+
+    def _consume_uwb_sets(self, sets):
+        """Remove drained sets from the subclass buffer. Base: no-op."""
 
     # ------------------------------------------------------------------
     def initialize_with_gt(self, t, q_GtoI, p, v, bg, ba, prior_std=None):
@@ -557,6 +597,9 @@ class VioManager:
                 float(self.state.time),
             )
             return
+        if self.cfg.fused_step:
+            self._frame_fused(t)
+            return
         if self.cfg.try_zupt and self._try_zupt(t):
             self._last_frame_t = t
             return  # motion frozen: no clone, no visual update this frame
@@ -596,6 +639,246 @@ class VioManager:
                 f"{row['total']:.6f}\n"
             )
         self._last_frame_t = t
+
+    # ------------------------------------------------------------------
+    def _frame_fused(self, t: float):
+        """One-dispatch frame: build the padded FrameBundle on host,
+        run `pipeline.full_filter_step`, then update the host mirrors
+        from the returned infos. Covers the same work as the staged
+        path (`do_feature_propagate_update` + UWB drain + ZUPT)."""
+        import time as _time
+
+        from .pipeline import FrameBundle
+
+        t0h = _time.perf_counter()
+        L, cfg = self.layout, self.cfg
+        K, C, S = L.max_clones, L.num_cams, L.max_slam
+        M = L.max_imu_batch
+        Fc = cfg.max_slam_init_per_frame
+        U = self._full_cfg.uwb_sets_per_frame
+        A = getattr(L, "max_anchors", 0)
+
+        dt_now = float(self.state.calib_dt)
+        if self._last_prop_dt is None:
+            self._last_prop_dt = dt_now
+        cursor = float(self.state.time)
+        dt_last = self._last_prop_dt
+
+        imu_t_arr = np.asarray(self._imu_t)
+        imu_w_arr = np.stack(self._imu_w)
+        imu_a_arr = np.stack(self._imu_a)
+
+        # ---- ZUPT host gates + window ---------------------------------
+        zupt_try = False
+        zt = np.full(M, cursor)
+        zw = np.zeros((M, 3))
+        za = np.zeros((M, 3))
+        if cfg.try_zupt:
+            zupt_try = not (
+                cfg.zupt_only_at_beginning and getattr(self, "_has_moved", False)
+            )
+            if zupt_try and cfg.zupt_max_disparity > 0 and not self._disparity_small(t):
+                zupt_try = False
+            if zupt_try:
+                zt, zw, za = select_imu_readings_np(
+                    imu_t_arr, imu_w_arr, imu_a_arr,
+                    cursor + dt_last, max(t + dt_now, cursor + dt_last + 1e-9), M,
+                )
+
+        # ---- UWB range-set windows ------------------------------------
+        sets = self._collect_uwb_sets(t)
+        u_t = np.full((U, M), cursor)
+        u_w = np.zeros((U, M, 3))
+        u_a = np.zeros((U, M, 3))
+        u_stamp = np.full(U, cursor)
+        u_r = np.zeros((U, A))
+        u_m = np.zeros((U, A), bool)
+        ucursor, udt_last = cursor, dt_last
+        for k, (t_u, ranges) in enumerate(sets):
+            if t_u > ucursor:
+                u_t[k], u_w[k], u_a[k] = select_imu_readings_np(
+                    imu_t_arr, imu_w_arr, imu_a_arr,
+                    ucursor + udt_last,
+                    max(t_u + dt_now, ucursor + udt_last + 1e-9), M,
+                )
+                u_stamp[k] = t_u
+                ucursor, udt_last = t_u, dt_now
+            else:
+                u_t[k] = np.full(M, ucursor)
+                u_stamp[k] = ucursor
+            for aid, dist in ranges.items():
+                slot = self.anchor_slot_by_id[aid]
+                u_r[k, slot] = dist
+                u_m[k, slot] = True
+
+        # ---- main propagation window ----------------------------------
+        tt, ww, aa = select_imu_readings_np(
+            imu_t_arr, imu_w_arr, imu_a_arr,
+            ucursor + udt_last, max(t + dt_now, ucursor + udt_last + 1e-9), M,
+        )
+
+        # ---- tentative ring advance (rolled back on ZUPT accept) ------
+        new_head = 0 if self._head < 0 else (self._head + 1) % K
+        saved_slots, saved_head = dict(self.slot_times), self._head
+        self._head = new_head
+        self.slot_times[new_head] = t
+
+        marg_enable = len(self.slot_times) > cfg.max_clones
+        marg_slot = (
+            min(self.slot_times, key=self.slot_times.get) if marg_enable else 0
+        )
+        marg_t = self.slot_times.get(marg_slot) if marg_enable else None
+
+        # ---- SLAM maintenance: drop dead-track landmarks (rare
+        # separate dispatches, like the reference's should_marg flags)
+        if S > 0:
+            for fid in list(self.slam_slot_by_fid):
+                f = self.db.features.get(fid)
+                if f is None or f.newest_time() < t:
+                    self._free_landmark(fid)
+                    if f is not None:
+                        f.to_delete = True
+            self.db.cleanup()
+
+        # ---- feature triage -> padded obs tensors ----------------------
+        feats = self._select_msckf_feats(t)
+        uv_m, mask_m = self._build_obs(feats)
+
+        time_to_slot = {tt_: s for s, tt_ in self.slot_times.items()}
+        uv_s = np.zeros((S, K, C, 2))
+        mask_s = np.zeros((S, K, C), bool)
+        slam_any_obs = False
+        for fid, slot in self.slam_slot_by_fid.items():
+            f = self.db.features.get(fid)
+            cons = self.slam_consumed_t.get(fid, -np.inf)
+            for cam, lst in f.obs.items():
+                for (tt_, u, v) in lst:
+                    s = time_to_slot.get(tt_)
+                    if s is not None and tt_ > cons:
+                        uv_s[slot, s, cam] = (u, v)
+                        mask_s[slot, s, cam] = True
+                        slam_any_obs = True
+
+        cands = self._slam_candidates(t) if S > 0 else []
+        uv_c = np.zeros((Fc, K, C, 2))
+        mask_c = np.zeros((Fc, K, C), bool)
+        slots_c = np.zeros(Fc, np.int32)
+        fids_c = np.full(Fc, -1, np.int32)
+        if cands:
+            used = set(self.slam_slot_by_fid.values())
+            free_slots = [s for s in range(S) if s not in used]
+            for i, f in enumerate(cands[: min(len(free_slots), Fc)]):
+                slots_c[i] = free_slots[i]
+                fids_c[i] = f.feat_id
+                for cam, lst in f.obs.items():
+                    for (tt_, u, v) in lst:
+                        s = time_to_slot.get(tt_)
+                        if s is not None:
+                            uv_c[i, s, cam] = (u, v)
+                            mask_c[i, s, cam] = True
+
+        fb = FrameBundle(
+            imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa),
+            stamp_time=jnp.asarray(t, jnp.float64),
+            msckf_uv=uv_m, msckf_mask=mask_m,
+            slam_uv=jnp.asarray(uv_s), slam_mask=jnp.asarray(mask_s),
+            cand_uv=jnp.asarray(uv_c), cand_mask=jnp.asarray(mask_c),
+            cand_slots=jnp.asarray(slots_c), cand_ids=jnp.asarray(fids_c),
+            uwb_imu_t=jnp.asarray(u_t), uwb_imu_w=jnp.asarray(u_w),
+            uwb_imu_a=jnp.asarray(u_a), uwb_stamp=jnp.asarray(u_stamp),
+            uwb_ranges=jnp.asarray(u_r), uwb_mask=jnp.asarray(u_m),
+            zupt_try=jnp.asarray(bool(zupt_try)),
+            zupt_imu_t=jnp.asarray(zt), zupt_imu_w=jnp.asarray(zw),
+            zupt_imu_a=jnp.asarray(za),
+            marg_enable=jnp.asarray(bool(marg_enable)),
+            marg_slot=jnp.int32(marg_slot),
+        )
+        t1h = _time.perf_counter()
+
+        # ---- ONE device dispatch ---------------------------------------
+        self.state, infos = self._jit_full(self.state, fb)
+        jax.block_until_ready(self.state.cov)
+        t2h = _time.perf_counter()
+
+        z_acc = bool(infos["zupt_accepted"])
+        if cfg.try_zupt and zupt_try and not z_acc:
+            self._has_moved = True
+        if z_acc:
+            # motion frozen: no clone/update happened on device
+            self.slot_times, self._head = saved_slots, saved_head
+            self._last_prop_dt = dt_now
+            self.db.cleanup_older_than(t + 1e-9)
+            self._last_frame_t = t
+            self._record_fused_timing(t, t1h - t0h, t2h - t1h, 0.0)
+            return
+
+        self.last_msckf_info = infos["msckf"]
+        self.last_uwb_info = {"accepted": infos["uwb_accepted"]}
+        self._consume_uwb_sets(sets)
+        self._last_prop_dt = dt_now
+
+        # msckf features consumed
+        for f in feats:
+            f.to_delete = True
+        self.db.cleanup()
+
+        # slam bookkeeping from infos
+        if S > 0:
+            if slam_any_obs:
+                failed = np.asarray(infos["slam_failed"])
+                for fid in list(self.slam_slot_by_fid):
+                    slot = self.slam_slot_by_fid[fid]
+                    self.slam_consumed_t[fid] = t
+                    if failed[slot]:
+                        self.slam_fail[fid] = self.slam_fail.get(fid, 0) + 1
+                        if self.slam_fail[fid] >= cfg.slam_fail_marg:
+                            f = self.db.features.get(fid)
+                            if f is not None:
+                                f.to_delete = True
+                            self._free_landmark(fid)
+                self.db.cleanup()
+            inited = np.asarray(infos["slam_inited"])
+            for i in range(Fc):
+                if fids_c[i] >= 0 and inited[i]:
+                    self.slam_slot_by_fid[int(fids_c[i])] = int(slots_c[i])
+                    self.slam_consumed_t[int(fids_c[i])] = t
+
+        # marginalization mirror (device already did anchor change + marg)
+        if marg_enable:
+            self.slot_times.pop(marg_slot, None)
+            self.db.cleanup_older_than(marg_t + 1e-9)
+
+        # trim consumed imu (keep a tail for interpolation)
+        while len(self._imu_t) > 2 and self._imu_t[1] < t - 0.2:
+            self._imu_t.pop(0)
+            self._imu_w.pop(0)
+            self._imu_a.pop(0)
+
+        t3h = _time.perf_counter()
+        self._record_fused_timing(t, t1h - t0h, t2h - t1h, t3h - t2h)
+        self._last_frame_t = t
+
+    def _record_fused_timing(self, t, build_s, device_s, post_s):
+        """Fused-mode per-frame timing. The staged CSV columns map to:
+        uwb <- host tensor build, propagation <- device step,
+        msckf/slam <- 0 (fused into device), marginalization <- host
+        bookkeeping."""
+        self.last_timing = {
+            "timestamp": t,
+            "uwb": build_s,
+            "propagation": device_s,
+            "msckf": 0.0,
+            "slam": 0.0,
+            "marginalization": post_s,
+            "total": build_s + device_s + post_s,
+        }
+        if self._timing_file is not None:
+            row = self.last_timing
+            self._timing_file.write(
+                f"{row['timestamp']:.9f},{row['uwb']:.6f},{row['propagation']:.6f},"
+                f"{row['msckf']:.6f},{row['slam']:.6f},{row['marginalization']:.6f},"
+                f"{row['total']:.6f}\n"
+            )
 
     # ------------------------------------------------------------------
     def _pre_visual_update(self, t: float):

@@ -49,6 +49,9 @@ class UVioConfig(VioConfig):
     calib_uwb_extrinsics: bool = False
     p_IinU: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     p_IinU_prior_std: float = 0.03
+    # max buffered range-sets drained inside the fused per-frame step
+    # (overflow falls back to the staged drain before the dispatch)
+    max_uwb_sets_per_frame: int = 4
 
 
 class UVioManager(VioManager):
@@ -93,6 +96,31 @@ class UVioManager(VioManager):
         )
         if cfg.anchors:
             self.initialize_anchors(cfg.anchors)
+
+    # ------------------------------------------------------------------
+    def _full_step_extras(self) -> dict:
+        return dict(
+            uwb_sets_per_frame=self.ucfg.max_uwb_sets_per_frame,
+            sigma_range=self.ucfg.sigma_range,
+            uwb_chi2_mult=self.ucfg.uwb_chi2_mult,
+        )
+
+    def _collect_uwb_sets(self, t_img: float):
+        """Eligible range-sets for the fused in-step drain. If more are
+        buffered than the fused step's static capacity, drain everything
+        through the staged path instead (rare)."""
+        eligible = [(t_u, r) for (t_u, r) in self.uwb_buffer if t_u < t_img]
+        if len(eligible) > self.ucfg.max_uwb_sets_per_frame:
+            self._pre_visual_update(t_img)  # staged drain updates state
+            return []
+        return eligible
+
+    def _consume_uwb_sets(self, sets):
+        if sets:
+            consumed_ts = {t_u for (t_u, _) in sets}
+            self.uwb_buffer = [
+                (t_u, r) for (t_u, r) in self.uwb_buffer if t_u not in consumed_ts
+            ]
 
     # ------------------------------------------------------------------
     def initialize_anchors(self, anchors: List[AnchorConfig]):
