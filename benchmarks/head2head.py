@@ -26,6 +26,14 @@ import shutil
 import subprocess
 import sys
 
+# replay on CPU: bit-matches the TPU math, avoids holding the (single-
+# process) TPU tunnel, and lets bench.py run concurrently (the
+# sitecustomize re-forces axon via jax config, so override both)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

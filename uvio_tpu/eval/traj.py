@@ -98,6 +98,32 @@ def ate(t_est, q_est, p_est, t_gt, q_gt, p_gt, method="se3"):
     }
 
 
+def ate_2d(t_est, q_est, p_est, t_gt, q_gt, p_gt, method="se3"):
+    """ATE in the x-y plane + yaw-only orientation error
+    (`ResultTrajectory::calculate_ate_2d`, ResultTrajectory.cpp: the
+    position error is the 2D norm, the orientation error the z
+    component of log_so3(R_est^T R_gt), both after alignment)."""
+    ie, ig = intersect(t_est, t_gt)
+    pe, pg = p_est[ie], p_gt[ig]
+    qe, qg = q_est[ie], q_gt[ig]
+    s, R, t = umeyama_align(pe, pg, method)
+    pa = (s * (R @ pe.T)).T + t
+    err_p2 = np.linalg.norm(pa[:, :2] - pg[:, :2], axis=1)
+    Re = _rot(qe)
+    Rg = _rot(qg)
+    Rea = np.einsum("nij,kj->nik", Re, R)
+    dR = np.einsum("nij,njk->nik", Rea.transpose(0, 2, 1), Rg)
+    yaw = np.asarray(log_so3(jnp.asarray(dR)))[:, 2]
+    return {
+        "rmse_pos": float(np.sqrt(np.mean(err_p2**2))),
+        "rmse_ori_deg": float(np.degrees(np.sqrt(np.mean(yaw**2)))),
+        "mean_pos": float(err_p2.mean()),
+        "err_pos": err_p2,
+        "err_yaw_deg": np.degrees(yaw),
+        "n": len(ie),
+    }
+
+
 def rpe(t_est, q_est, p_est, t_gt, q_gt, p_gt, segment_lengths=(8, 16, 24, 32, 40)):
     """Relative pose error per segment length (ResultTrajectory::
     calculate_rpe semantics: segments by traveled gt distance)."""

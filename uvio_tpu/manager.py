@@ -60,6 +60,10 @@ class VioConfig:
     max_clones: int = 11
     max_slam: int = 0
     feat_rep_slam: int = 1  # representations.ANCHORED_MSCKF_INVERSE_DEPTH
+    # delay (s) after initialization before SLAM features may be
+    # initialized — prevents a bad first set of FEJ-frozen landmarks
+    # (`dt_slam_delay` yaml key, VioManager.cpp:443-444)
+    dt_slam_delay: float = 2.0
     max_msckf_in_update: int = 40
     max_slam_init_per_frame: int = 8
     slam_fail_marg: int = 2  # chi2 failures before landmark marginalization
@@ -335,6 +339,8 @@ class VioManager:
             cov=jnp.asarray(cov, dt),
         )
         self.is_initialized = True
+        # SLAM delayed-init gate reference point (`startup_time`)
+        self._startup_time = float(t)
 
     # ------------------------------------------------------------------
     def _try_static_init(self):
@@ -947,6 +953,10 @@ class VioManager:
         """Max-track features eligible for SLAM promotion: observed at the
         to-be-marginalized clone, still tracked, spanning the window."""
         if self.cfg.max_slam == 0 or len(self.slot_times) <= self.cfg.max_clones:
+            return []
+        # wait dt_slam_delay after startup before the first delayed init
+        # (VioManager.cpp:443-444 "prevents bad first set of slam points")
+        if t - getattr(self, "_startup_time", -np.inf) < self.cfg.dt_slam_delay:
             return []
         free = self.cfg.max_slam - len(self.slam_slot_by_fid)
         if free <= 0:

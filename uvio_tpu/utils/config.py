@@ -156,6 +156,7 @@ def load_config(config_path: str):
     common = dict(
         max_clones=int(cfg.get("max_clones", 11)),
         max_slam=int(cfg.get("max_slam", 0)),
+        dt_slam_delay=float(cfg.get("dt_slam_delay", 2.0)),
         feat_rep_slam=feat_rep,
         max_msckf_in_update=int(cfg.get("max_msckf_in_update", 40)),
         gravity_mag=float(cfg.get("gravity_mag", 9.81)),
