@@ -111,8 +111,10 @@ def ate_2d(t_est, q_est, p_est, t_gt, q_gt, p_gt, method="se3"):
     err_p2 = np.linalg.norm(pa[:, :2] - pg[:, :2], axis=1)
     Re = _rot(qe)
     Rg = _rot(qg)
+    # same composition as ate(): dR = Rg @ Rea^T so the yaw error is
+    # measured in the same (global) frame as the 3D metric
     Rea = np.einsum("nij,kj->nik", Re, R)
-    dR = np.einsum("nij,njk->nik", Rea.transpose(0, 2, 1), Rg)
+    dR = np.einsum("nij,njk->nik", Rg, Rea.transpose(0, 2, 1))
     yaw = np.asarray(log_so3(jnp.asarray(dR)))[:, 2]
     return {
         "rmse_pos": float(np.sqrt(np.mean(err_p2**2))),

@@ -334,6 +334,8 @@ def set_block_covariance(cov: jnp.ndarray, slot_off, block: jnp.ndarray):
     """Overwrite a diagonal block (zeroing its cross terms) — the
     equivalent of `StateHelper::set_initial_covariance`."""
     s = block.shape[0]
+    # callers pass numpy f64 prior blocks; the state covariance may be f32
+    block = jnp.asarray(block, cov.dtype)
     cov = _zero_rows_cols(cov, slot_off, s)
     cov = jax.lax.dynamic_update_slice(cov, block, (slot_off, slot_off))
     return cov

@@ -667,6 +667,11 @@ class VioManager:
         dt_now = float(self.state.calib_dt)
         if self._last_prop_dt is None:
             self._last_prop_dt = dt_now
+        # collect UWB sets BEFORE capturing the propagation cursor: on
+        # overflow the staged fallback drain propagates the state forward,
+        # and every window below must start from the post-drain state time
+        # (otherwise the drained IMU interval would be integrated twice)
+        sets = self._collect_uwb_sets(t)
         cursor = float(self.state.time)
         dt_last = self._last_prop_dt
 
@@ -692,7 +697,6 @@ class VioManager:
                 )
 
         # ---- UWB range-set windows ------------------------------------
-        sets = self._collect_uwb_sets(t)
         u_t = np.full((U, M), cursor)
         u_w = np.zeros((U, M, 3))
         u_a = np.zeros((U, M, 3))
@@ -716,6 +720,10 @@ class VioManager:
                 slot = self.anchor_slot_by_id[aid]
                 u_r[k, slot] = dist
                 u_m[k, slot] = True
+        # padding rows keep the running cursor so masked-out sets never
+        # rewind the device state timestamp mid-step
+        u_stamp[len(sets):] = ucursor
+        u_t[len(sets):] = ucursor
 
         # ---- main propagation window ----------------------------------
         tt, ww, aa = select_imu_readings_np(

@@ -139,7 +139,9 @@ class UVioManager(VioManager):
                 raise ValueError("more anchors than max_anchors slots")
             self.anchor_slot_by_id[a.anchor_id] = slot
             st = st.replace(
-                anchors_p=st.anchors_p.at[slot].set(jnp.asarray(a.p_AinG)),
+                anchors_p=st.anchors_p.at[slot].set(
+                    jnp.asarray(a.p_AinG, st.anchors_p.dtype)
+                ),
                 anchors_gamma=st.anchors_gamma.at[slot].set(a.gamma),
                 anchors_alpha=st.anchors_alpha.at[slot].set(a.alpha),
                 anchors_valid=st.anchors_valid.at[slot].set(True),
