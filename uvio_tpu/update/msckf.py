@@ -99,16 +99,25 @@ def feature_system(
     # ---- Jacobian leg: FEJ geometry, current-projection chain ----
     dpf_fej = feat_p_fej[:, None, :] - state.clones_p_fej[None, :, :]
     p_FinI_fej = jnp.einsum("kij,fkj->fki", R_GtoI_fej, dpf_fej)
+    # FEJ camera-frame point: the projection Jacobian d uv_norm/d p_FinC
+    # is evaluated at the FEJ linearization like the reference
+    # (`UpdaterHelper.cpp:354-372`: p_FinCi is overwritten with the FEJ
+    # value before dzn_dpfc is built; dz_dzn stays at the current uv).
+    p_FinC_fej = (
+        jnp.einsum("cij,fkj->fkci", R_ItoC, p_FinI_fej) + p_IinC[None, None]
+    )  # (F,K,C,3)
+    z_fej = p_FinC_fej[..., 2]
+    safe_zf = jnp.where(jnp.abs(z_fej) < 1e-6, 1e-6, z_fej)
 
     # d uv / d uv_norm and d uv / d intrinsics at current estimate
     J_norm, J_calib = _distort_jacobian_percam(intr, cam_model, uvn)  # (F,K,C,2,2),(F,K,C,2,8)
-    # d uv_norm / d p_FinC
-    zero = jnp.zeros_like(safe_z)
-    one = jnp.ones_like(safe_z)
+    # d uv_norm / d p_FinC at the FEJ point
+    zero = jnp.zeros_like(safe_zf)
+    one = jnp.ones_like(safe_zf)
     Hproj = jnp.stack(
         [
-            jnp.stack([one / safe_z, zero, -p_FinC[..., 0] / safe_z**2], axis=-1),
-            jnp.stack([zero, one / safe_z, -p_FinC[..., 1] / safe_z**2], axis=-1),
+            jnp.stack([one / safe_zf, zero, -p_FinC_fej[..., 0] / safe_zf**2], axis=-1),
+            jnp.stack([zero, one / safe_zf, -p_FinC_fej[..., 1] / safe_zf**2], axis=-1),
         ],
         axis=-2,
     )  # (F,K,C,2,3)
@@ -137,8 +146,9 @@ def feature_system(
         blocks.append(jnp.zeros(lead + (1,), dtype))
     if L.calib_cam_pose:
         # error on q_ItoC, p_IinC: d p_FinC/d th_C = [p_FinC - p_IinC]_x,
-        # d/d p_IinC = I
-        sk_c = skew(p_FinC - p_IinC[None, None])  # (F,K,C,3,3)
+        # d/d p_IinC = I — evaluated at the FEJ point (the reference's
+        # dpfc_dcalib uses the possibly-FEJ-overwritten p_FinCi)
+        sk_c = skew(p_FinC_fej - p_IinC[None, None])  # (F,K,C,3,3)
         H_thc = jnp.einsum("fkcab,fkcbe->fkcae", Hcam, sk_c)
         H_ext = jnp.concatenate([H_thc, Hcam], axis=-1)  # (F,K,C,2,6)
         eyeC = jnp.eye(C, dtype=dtype)

@@ -209,20 +209,31 @@ def anchored_chain(state: FilterState, layout: StateLayout):
     handled like the reference (`UpdaterHelper.cpp:88-99`): the current
     best global position is re-expressed in the FEJ anchor frame.
 
-    Returns (p_glob (S,3), J_rep (S,3,3) = d p_FinG/d value,
-    H_anc (S,3,6) = d p_FinG/d(anchor theta, anchor p)).
-    For GLOBAL_3D: (values, identity, zeros).
+    Returns (p_glob (S,3), p_glob_fej (S,3), J_rep (S,3,3) =
+    d p_FinG/d value, H_anc (S,3,6) = d p_FinG/d(anchor theta, p)).
+
+    p_glob_fej is the FEJ linearization point for the *clone* Jacobians
+    (`get_feature_jacobian_full`): the frozen landmark FEJ value for the
+    global representations, and the current best for anchored ones
+    ("we can use the best p_FinG since the value of p_FinA does not
+    matter", UpdaterHelper.cpp:286-289).
     """
     S = layout.max_slam
     rep = layout.slam_rep
     if rep == GLOBAL_3D:
         eye = jnp.broadcast_to(jnp.eye(3, dtype=state.slam_p.dtype), (S, 3, 3))
-        return state.slam_p, eye, jnp.zeros((S, 3, 6), state.slam_p.dtype)
+        return (
+            state.slam_p,
+            state.slam_p_fej,
+            eye,
+            jnp.zeros((S, 3, 6), state.slam_p.dtype),
+        )
     if rep == GLOBAL_FULL_INVERSE_DEPTH:
         # FEJ on the stored value (UpdaterHelper.cpp:45-46)
         p_glob = jax.vmap(sphere_to_point)(state.slam_p)
+        p_glob_fej = jax.vmap(sphere_to_point)(state.slam_p_fej)
         J = jax.vmap(d_point_d_sphere)(state.slam_p_fej)
-        return p_glob, J, jnp.zeros((S, 3, 6), state.slam_p.dtype)
+        return p_glob, p_glob_fej, J, jnp.zeros((S, 3, 6), state.slam_p.dtype)
 
     def one(s):
         val = state.slam_p[s]
@@ -247,7 +258,8 @@ def anchored_chain(state: FilterState, layout: StateLayout):
         )
         return p_FinG, J_rep, H_anc
 
-    return jax.vmap(one)(jnp.arange(S))
+    p_glob, J_rep, H_anc = jax.vmap(one)(jnp.arange(S))
+    return p_glob, p_glob, J_rep, H_anc
 
 
 def point_to_rep(state: FilterState, layout: StateLayout, p_FinG, anchor_slot, anchor_cam):
@@ -275,28 +287,43 @@ def anchor_change(state: FilterState, layout: StateLayout, marg_slot, new_slot):
         def change(st):
             val = st.slam_p[s]
             cam = st.slam_anchor_cam[s]
-            # current estimates for the transform (reference uses
-            # current values for the re-anchoring Jacobians)
-            R_a, p_a, R_Ia, p_Ia = _anchor_cam_pose(st, marg_slot, cam, False)
-            R_n, p_n, R_In, p_In = _anchor_cam_pose(st, new_slot, cam, False)
             rep = L.slam_rep
+            R_ItoC = quat_to_rot(st.calib_cam_q[cam])
+            p_IinC = st.calib_cam_p[cam]
+            # current estimates: exact value transform
+            R_a, p_a, _, _ = _anchor_cam_pose(st, marg_slot, cam, False)
+            R_n, p_n, _, _ = _anchor_cam_pose(st, new_slot, cam, False)
             p_FinA = anchor_point_from_value(rep, val)
             p_FinG = R_a.T @ p_FinA + p_a
             p_FinCn = R_n @ (p_FinG - p_n)
             new_val = value_from_anchor_point(rep, p_FinCn)
 
-            Jf_pc = d_value_d_anchor_point(rep, p_FinCn)  # (3,3)
-            R_ItoC = quat_to_rot(st.calib_cam_q[cam])
-            # A: wrt old landmark value
-            A = Jf_pc @ R_n @ (R_a.T @ d_anchor_point_d_value(rep, val))
-            # B: wrt old anchor clone (theta, p)
-            v_a = R_ItoC.T @ p_FinA - R_ItoC.T @ st.calib_cam_p[cam]
-            B_th = Jf_pc @ R_n @ (-R_Ia.T @ skew(v_a))
-            B_p = Jf_pc @ R_n
-            # C: wrt new anchor clone (theta, p)
-            p_FinIn = R_In @ (p_FinG - p_In)
-            C_th = Jf_pc @ R_ItoC @ skew(p_FinIn)
-            C_p = -Jf_pc @ R_ItoC @ R_In
+            # FEJ anchor poses for the covariance-transform Jacobians:
+            # the reference builds Phi via
+            # `get_feature_jacobian_representation`, whose FEJ branch
+            # re-expresses the current best p_FinG in each anchor's FEJ
+            # frame (UpdaterSLAM.cpp:525-610, UpdaterHelper.cpp:88-99).
+            R_af, p_af, R_Iaf, _ = _anchor_cam_pose(st, marg_slot, cam, True)
+            R_nf, p_nf, R_Inf, _ = _anchor_cam_pose(st, new_slot, cam, True)
+            pA_lin_old = R_af @ (p_FinG - p_af)  # old FEJ anchor frame
+            pA_lin_new = R_nf @ (p_FinG - p_nf)  # new FEJ anchor frame
+
+            # Hf_old = R_af^T @ d(pA)/d(val) at the FEJ-re-expressed value
+            Jd_old = d_anchor_point_d_value(
+                rep, value_from_anchor_point(rep, pA_lin_old)
+            )
+            Jinv_new = d_value_d_anchor_point(rep, pA_lin_new)  # (Hf_new R)^-1 leg
+
+            # A: wrt old landmark value = Hf_new^{-1} Hf_old
+            A = Jinv_new @ R_nf @ (R_af.T @ Jd_old)
+            # B: wrt old anchor clone = Hf_new^{-1} H_anc_old
+            B_th = Jinv_new @ R_nf @ (
+                -R_Iaf.T @ skew(R_ItoC.T @ (pA_lin_old - p_IinC))
+            )
+            B_p = Jinv_new @ R_nf
+            # C: wrt new anchor clone = -Hf_new^{-1} H_anc_new
+            C_th = Jinv_new @ R_ItoC @ skew(R_ItoC.T @ (pA_lin_new - p_IinC))
+            C_p = -Jinv_new @ R_nf
 
             Phi = jnp.zeros((3, D), st.cov.dtype)
             f_off = jnp.int32(L.slam_slot_off(s))
@@ -313,10 +340,16 @@ def anchor_change(state: FilterState, layout: StateLayout, marg_slot, new_slot):
             cov = jax.lax.dynamic_update_slice(st.cov, rows, (f_off, jnp.int32(0)))
             cov = jax.lax.dynamic_update_slice(cov, rows.T, (jnp.int32(0), f_off))
             cov = jax.lax.dynamic_update_slice(cov, block, (f_off, f_off))
+            # FEJ value transforms with the FEJ anchor poses
+            # (UpdaterSLAM.cpp:560-576: R_OLDtoNEW_fej / p_OLDinNEW_fej)
+            p_FinG_fej = R_af.T @ anchor_point_from_value(
+                rep, st.slam_p_fej[s]
+            ) + p_af
+            new_fej = value_from_anchor_point(rep, R_nf @ (p_FinG_fej - p_nf))
             return st.replace(
                 cov=cov,
                 slam_p=st.slam_p.at[s].set(new_val),
-                slam_p_fej=st.slam_p_fej.at[s].set(new_val),
+                slam_p_fej=st.slam_p_fej.at[s].set(new_fej),
                 slam_anchor_slot=st.slam_anchor_slot.at[s].set(
                     jnp.int32(new_slot)
                 ),

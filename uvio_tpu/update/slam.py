@@ -45,6 +45,7 @@ from .representations import (
     d_point_d_sphere,
     is_anchored,
     point_to_rep,
+    value_from_anchor_point,
 )
 from .triangulation import triangulate_batch
 from ..cam import models as cam_models
@@ -68,9 +69,9 @@ def slam_update(
     obs_mask = obs_mask & state.slam_valid[:, None, None]
 
     # representation -> global positions + FEJ chain pieces
-    p_glob, J_rep, H_anc = anchored_chain(state, L)
+    p_glob, p_glob_fej, J_rep, H_anc = anchored_chain(state, L)
     Hx, H_fG, res, row_mask = feature_system(
-        state, L, cam_model, p_glob, p_glob, obs_uv, obs_mask, sigma_pix
+        state, L, cam_model, p_glob, p_glob_fej, obs_uv, obs_mask, sigma_pix
     )
     M = Hx.shape[1]
     # landmark columns: chain through the representation; one-hot einsum
@@ -176,27 +177,36 @@ def slam_delayed_init(
         else rep
     )
     if is_anchored(rep):
+        # landmark VALUE: triangulated point in the CURRENT anchor frame
         vals0 = jax.vmap(
             lambda p: point_to_rep(state, L, p, anchor_slot, anchor_cam)
         )(feat_p)
+        # Jacobian chain at the FEJ anchor pose, like the reference
+        # (`get_feature_jacobian_representation` FEJ branch,
+        # UpdaterHelper.cpp:88-99): re-express the triangulated global
+        # point in the FEJ anchor frame and linearize there.
         R_ItoC = quat_to_rot(state.calib_cam_q[anchor_cam])
         p_IinC = state.calib_cam_p[anchor_cam]
-        R_GtoI_a = quat_to_rot(state.clones_q[anchor_slot])
-        R_GtoC_a = R_ItoC @ R_GtoI_a
+        R_GtoI_af = quat_to_rot(state.clones_q_fej[anchor_slot])
+        p_I_af = state.clones_p_fej[anchor_slot]
+        R_GtoC_af = R_ItoC @ R_GtoI_af
+        p_FinA_fej = jax.vmap(
+            lambda p: R_ItoC @ (R_GtoI_af @ (p - p_I_af)) + p_IinC
+        )(feat_p)
         J_chain = jax.vmap(
-            lambda v: R_GtoC_a.T @ d_anchor_point_d_value(rep_init, v)
-        )(vals0)
+            lambda pA: R_GtoC_af.T
+            @ d_anchor_point_d_value(rep_init, value_from_anchor_point(rep_init, pA))
+        )(p_FinA_fej)
         H_fG = H_f
         H_f = jnp.einsum("smj,sjk->smk", H_fG, J_chain)
         # anchor-pose term added into the anchor clone's columns
         M0 = H_fG.shape[1]
 
-        def anc_one(v):
-            p_FinA = anchor_point_from_value(rep, v)
-            th = -R_GtoI_a.T @ skew(R_ItoC.T @ (p_FinA - p_IinC))
-            return jnp.concatenate([th, jnp.eye(3, dtype=v.dtype)], axis=1)
+        def anc_one(pA):
+            th = -R_GtoI_af.T @ skew(R_ItoC.T @ (pA - p_IinC))
+            return jnp.concatenate([th, jnp.eye(3, dtype=pA.dtype)], axis=1)
 
-        H_anc0 = jax.vmap(anc_one)(vals0)  # (Fc,3,6)
+        H_anc0 = jax.vmap(anc_one)(p_FinA_fej)  # (Fc,3,6)
         extra = jnp.einsum("smj,sjk->smk", H_fG, H_anc0)
         a_off = jnp.int32(L.clone_off + 6 * anchor_slot)
 
@@ -251,10 +261,14 @@ def slam_delayed_init(
                 jnp.full((3,), sigma_pix**2, st.cov.dtype), r_init,
             )
             p_new = p_f + dxf
+            # FEJ value frozen at the PRE-correction triangulated value:
+            # the reference sets the landmark fej before
+            # `StateHelper::initialize` applies the init correction
+            # (UpdaterSLAM.cpp:218-226 + StateHelper.cpp:393-482)
             st = st.replace(
                 cov=new_cov,
                 slam_p=st.slam_p.at[slot].set(p_new),
-                slam_p_fej=st.slam_p_fej.at[slot].set(p_new),
+                slam_p_fej=st.slam_p_fej.at[slot].set(p_f),
                 slam_valid=st.slam_valid.at[slot].set(True),
                 slam_id=st.slam_id.at[slot].set(fid),
                 slam_anchor_slot=st.slam_anchor_slot.at[slot].set(anchor_slot),
