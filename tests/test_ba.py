@@ -88,6 +88,26 @@ def test_ba_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(lms1), np.asarray(lms2), atol=1e-8)
 
 
+def test_ba_2d_kf_lm_sharded_matches_single():
+    """Keyframe x landmark 2D mesh (2x4) reproduces the unsharded solve."""
+    q, p, lm, obs, mask = make_scene(N=12, L=64)
+    q0, p0, lm0 = perturb(q, p, lm)
+    args = (jnp.asarray(q0), jnp.asarray(p0), jnp.asarray(lm0),
+            jnp.asarray(obs), jnp.asarray(mask))
+    qs1, ps1, lms1, i1 = ba_solve(*args, BAOptions(iters=8))
+
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("kf", "lm"))
+    qs2, ps2, lms2, i2 = ba_solve(*args, BAOptions(iters=8), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(ps1), np.asarray(ps2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lms1), np.asarray(lms2), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(i1["costs"]), np.asarray(i2["costs"]), rtol=1e-8
+    )
+
+
 def test_ba_masked_padding_inert():
     q, p, lm, obs, mask = make_scene(L=48)
     # append pure-padding landmarks

@@ -1,17 +1,28 @@
 """Sharded bundle adjustment / pose-graph backend.
 
 The north-star extension beyond reference parity (BASELINE.json): a
-keyframe + landmark batch optimizer whose landmark blocks are sharded
-across a device mesh. Each device computes its shard's contribution to
-the Schur-reduced camera system
+keyframe + landmark batch optimizer sharded across a device mesh.
+Each device computes its shard's contribution to the Schur-reduced
+camera system
 
     S  = H_pp - H_pl H_ll^-1 H_pl^T      (6N x 6N)
     b  = b_p  - H_pl H_ll^-1 b_l
 
-which is `psum`-all-reduced over the mesh ("dp" axis), solved
-replicated (tiny: 6N for N keyframes), and back-substituted into the
-local landmark shard — the classic distributed-BA decomposition, with
-XLA collectives over ICI instead of MPI.
+which is all-reduced over the mesh, solved replicated (tiny: 6N for N
+keyframes), and back-substituted into the local landmark shard — the
+classic distributed-BA decomposition, with XLA collectives over ICI
+instead of MPI.
+
+Two sharding modes, selected by the mesh's axis names:
+
+- 1D landmark sharding (a single mesh axis, any name): landmark blocks
+  split over devices, the camera system `psum`-all-reduced.
+- 2D keyframe x landmark sharding (axes named "kf" and "lm"): the
+  observation block structure (L, N) is tiled over the mesh — the
+  keyframe/time axis is the "sequence axis" of this workload
+  (SURVEY §2.6) — per-landmark Hessians `psum` over "kf", per-landmark
+  pose-block Jacobians `all_gather` over "kf", and the reduced camera
+  system `psum` over "lm".
 
 Geometry conventions match the filter: keyframe pose = (q_GtoC JPL,
 p_CinG) treated directly as the camera pose (IMU-camera extrinsics are
@@ -74,15 +85,15 @@ def _residual_jacobians(q, p, lm):
     return pred, Jp, Jl, z
 
 
-def _schur_contrib(q, p, lm_shard, obs_shard, mask_shard, huber):
-    """One landmark shard's Schur pieces.
+def _local_pieces(q, p, lm_shard, obs_shard, mask_shard, huber):
+    """Raw Gauss-Newton pieces for one (landmark-shard x keyframe-shard)
+    observation block. q/p may be a keyframe shard (Nk rows).
 
-    Returns (S (6N,6N), b (6N,), A (Ls,3,3), Bm (Ls,N,6... packed),
-    b_l (Ls,3), cost, plus cached pieces for back-substitution).
+    Returns (A (Ls,3,3), b_l (Ls,3), Hpl (Ls,Nk,6,3), Hpp_diag (Nk,6,6),
+    b_p (Nk,6), cost) — all *partial* sums over the local block.
     """
-    N = q.shape[0]
     pred, Jp, Jl, z = _residual_jacobians(q, p, lm_shard)
-    r = (obs_shard - pred) * mask_shard[..., None]  # (Ls,N,2)
+    r = (obs_shard - pred) * mask_shard[..., None]  # (Ls,Nk,2)
     # Huber weights (reference uses Cauchy loss in its ceres MLE;
     # Huber keeps the IRLS weights simple)
     rn = jnp.linalg.norm(r, axis=-1)
@@ -93,15 +104,19 @@ def _schur_contrib(q, p, lm_shard, obs_shard, mask_shard, huber):
     Jp = Jp * sw[..., None]
     Jl = Jl * sw[..., None]
 
-    # per-landmark blocks
     A = jnp.einsum("lnai,lnaj->lij", Jl, Jl)  # (Ls,3,3)
     b_l = jnp.einsum("lnai,lna->li", Jl, r)  # (Ls,3)
-    # H_pl for landmark l: (N,6,3) block per pose
-    Hpl = jnp.einsum("lnai,lnaj->lnij", Jp, Jl)  # (Ls,N,6,3)
-    # H_pp block-diagonal contributions
-    Hpp_diag = jnp.einsum("lnai,lnaj->nij", Jp, Jp)  # (N,6,6)
-    b_p = jnp.einsum("lnai,lna->ni", Jp, r).reshape(N * 6)
+    Hpl = jnp.einsum("lnai,lnaj->lnij", Jp, Jl)  # (Ls,Nk,6,3)
+    Hpp_diag = jnp.einsum("lnai,lnaj->nij", Jp, Jp)  # (Nk,6,6)
+    b_p = jnp.einsum("lnai,lna->ni", Jp, r)  # (Nk,6)
+    cost = jnp.sum(r * r)
+    return A, b_l, Hpl, Hpp_diag, b_p, cost
 
+
+def _schur_combine(A, b_l, Hpl, Hpp_diag, b_p, cost):
+    """Form the Schur-reduced camera system from (possibly collective-
+    combined) full-keyframe pieces. Hpl (Ls,N,6,3), Hpp_diag (N,6,6)."""
+    N = Hpp_diag.shape[0]
     A_reg = A + 1e-9 * jnp.eye(3, dtype=A.dtype)
     A_inv = _inv3(A_reg)
     # Schur: S -= B A^-1 B^T with B (6N,3) per landmark
@@ -111,8 +126,20 @@ def _schur_contrib(q, p, lm_shard, obs_shard, mask_shard, huber):
     b_red = jnp.einsum("lpk,lk->p", BAinv, b_l)  # (6N,)
 
     S = jax.scipy.linalg.block_diag(*[Hpp_diag[i] for i in range(N)]) - S_red
-    b = b_p - b_red
-    cost = jnp.sum(r * r)
+    b = b_p.reshape(N * 6) - b_red
+    return S, b, A_inv, B
+
+
+def _schur_contrib(q, p, lm_shard, obs_shard, mask_shard, huber):
+    """One landmark shard's Schur pieces (full keyframe axis).
+
+    Returns (S (6N,6N), b (6N,), A_inv (Ls,3,3), B (Ls,6N,3),
+    b_l (Ls,3), cost).
+    """
+    A, b_l, Hpl, Hpp_diag, b_p, cost = _local_pieces(
+        q, p, lm_shard, obs_shard, mask_shard, huber
+    )
+    S, b, A_inv, B = _schur_combine(A, b_l, Hpl, Hpp_diag, b_p, cost)
     return S, b, A_inv, B, b_l, cost
 
 
@@ -148,9 +175,13 @@ def ba_solve(
 ):
     """Damped Gauss-Newton BA. obs_uv (L,N,2) normalized, obs_mask (L,N).
 
-    With `mesh`, the landmark axis is sharded over mesh axis "dp" and the
-    reduced camera system is psum-all-reduced; without, runs single-device
-    with identical math.
+    With a 1-axis `mesh`, the landmark axis is sharded over that axis and
+    the reduced camera system is psum-all-reduced. With a 2-axis mesh
+    named ("kf", "lm"), the (L, N) observation block structure is tiled
+    over the mesh: per-landmark Hessians are psum-reduced over "kf",
+    pose-block Jacobians all-gathered over "kf", and the reduced camera
+    system psum-reduced over "lm". Without a mesh: single-device,
+    identical math.
     Returns (q, p, lm, info).
     """
     N = q0.shape[0]
@@ -162,22 +193,56 @@ def ba_solve(
     def contrib(q, p, lm, uv, m):
         return _schur_contrib(q, p, lm, uv, m, opts.huber_norm)
 
-    if mesh is not None:
+    if mesh is not None and set(mesh.axis_names) >= {"kf", "lm"}:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
+        def sharded_contrib_2d(q, p, lm, uv, m):
+            # q/p: local keyframe shard; lm/uv/m: local landmark shard
+            # (uv/m also kf-sharded along axis 1)
+            A, b_l, Hpl, Hpp_diag, b_p, cost = _local_pieces(
+                q, p, lm, uv, m, opts.huber_norm
+            )
+            # per-landmark pieces: sum over the keyframe axis
+            A = jax.lax.psum(A, "kf")
+            b_l = jax.lax.psum(b_l, "kf")
+            # pose-block pieces: concatenate the keyframe axis (tiled
+            # all-gather rides ICI; each kf row then holds full-N blocks)
+            Hpl = jax.lax.all_gather(Hpl, "kf", axis=1, tiled=True)
+            Hpp_diag = jax.lax.all_gather(Hpp_diag, "kf", axis=0, tiled=True)
+            b_p = jax.lax.all_gather(b_p, "kf", axis=0, tiled=True)
+            S, b, A_inv, B = _schur_combine(A, b_l, Hpl, Hpp_diag, b_p, cost)
+            # reduced camera system: sum the landmark shards
+            S = jax.lax.psum(S, "lm")
+            b = jax.lax.psum(b, "lm")
+            cost = jax.lax.psum(cost, ("kf", "lm"))
+            return S, b, A_inv, B, b_l, cost
+
+        contrib_fn = shard_map(
+            sharded_contrib_2d,
+            mesh=mesh,
+            in_specs=(P("kf"), P("kf"), P("lm"), P("lm", "kf"), P("lm", "kf")),
+            out_specs=(P(), P(), P("lm"), P("lm"), P("lm"), P()),
+            check_vma=False,
+        )
+    elif mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        (ax,) = mesh.axis_names
+
         def sharded_contrib(q, p, lm, uv, m):
             S, b, A_inv, B, b_l, cost = contrib(q, p, lm, uv, m)
-            S = jax.lax.psum(S, "dp")
-            b = jax.lax.psum(b, "dp")
-            cost = jax.lax.psum(cost, "dp")
+            S = jax.lax.psum(S, ax)
+            b = jax.lax.psum(b, ax)
+            cost = jax.lax.psum(cost, ax)
             return S, b, A_inv, B, b_l, cost
 
         contrib_fn = shard_map(
             sharded_contrib,
             mesh=mesh,
-            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
-            out_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P()),
+            in_specs=(P(), P(), P(ax), P(ax), P(ax)),
+            out_specs=(P(), P(), P(ax), P(ax), P(ax), P()),
         )
     else:
         contrib_fn = contrib
