@@ -172,6 +172,7 @@ def ba_solve(
     obs_mask,
     opts: BAOptions = BAOptions(),
     mesh=None,
+    pose_valid=None,
 ):
     """Damped Gauss-Newton BA. obs_uv (L,N,2) normalized, obs_mask (L,N).
 
@@ -182,6 +183,11 @@ def ba_solve(
     pose-block Jacobians all-gathered over "kf", and the reduced camera
     system psum-reduced over "lm". Without a mesh: single-device,
     identical math.
+
+    `pose_valid` (N,) bool marks live keyframe slots; invalid slots are
+    held fixed (zero update, unit diagonal) so callers can pad the
+    keyframe axis to a static size — landmark padding is already inert
+    via all-zero `obs_mask` rows.
     Returns (q, p, lm, info).
     """
     N = q0.shape[0]
@@ -189,6 +195,8 @@ def ba_solve(
     fixmask = jnp.concatenate(
         [jnp.zeros(6 * opts.fix_poses, dtype), jnp.ones(6 * (N - opts.fix_poses), dtype)]
     )
+    if pose_valid is not None:
+        fixmask = fixmask * jnp.repeat(jnp.asarray(pose_valid, dtype), 6)
 
     def contrib(q, p, lm, uv, m):
         return _schur_contrib(q, p, lm, uv, m, opts.huber_norm)
