@@ -35,95 +35,24 @@ import time
 
 
 def main():
-    import numpy as np
-
     import uvio_tpu  # noqa: F401  (x64 + cache config)
     import jax
     import jax.numpy as jnp
 
-    from uvio_tpu.manager import CameraConfig
-    from uvio_tpu.sim import SimParams, Simulator, circle_trajectory
-    from uvio_tpu.uwb_manager import AnchorConfig, UVioConfig, UVioManager
+    from uvio_tpu.eval.capture import capture_sim_bundles
 
     T_WARM, T_BENCH = 20, 100  # captured frames: warmup prefix + bench window
 
-    uwb_anchors = {
-        1: (np.array([4.0, 4.0, 2.0]), 0.15, 0.01),
-        2: (np.array([-4.0, 4.0, 0.5]), -0.1, 0.005),
-        3: (np.array([-4.0, -4.0, 2.5]), 0.2, 0.0),
-        4: (np.array([4.0, -4.0, 1.0]), 0.0, 0.02),
-    }
-    sim = Simulator(
-        SimParams(sim_freq_imu=200.0, sim_freq_cam=10.0, num_pts=60, seed=7,
-                  uwb_anchors=uwb_anchors),
-        trajectory=circle_trajectory(duration=(T_WARM + T_BENCH) / 10.0 + 8.0),
+    full_cfg, state0, bench_bundles = capture_sim_bundles(
+        n_warm=T_WARM, n_bench=T_BENCH, seed=7, max_slam=25, dtype="float32"
     )
-    cam = sim.params.cameras[0]
-    rng = np.random.default_rng(1)
-    anchor_cfgs = [
-        AnchorConfig(
-            anchor_id=aid,
-            p_AinG=p + rng.normal(scale=0.05, size=3),
-            prior_cov=np.diag([0.05**2] * 3 + [0.25**2, 0.025**2]),
-        )
-        for aid, (p, g, a) in uwb_anchors.items()
-    ]
-    cfg = UVioConfig(
-        max_clones=11,
-        max_msckf_in_update=40,
-        max_slam=25,
-        sigma_pix=sim.params.sigma_pix,
-        cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
-                              q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)],
-        max_anchors=len(anchor_cfgs),
-        anchors=anchor_cfgs,
-        sigma_range=sim.params.sigma_range,
-        dtype="float32",
-    )
-    mgr = UVioManager(cfg)
-    gt0 = sim.get_gt_state(sim.t_start)
-    mgr.initialize_with_gt(sim.t_start, gt0["q_GtoI"], gt0["p_IinG"],
-                           gt0["v_IinG"], gt0["bg"], gt0["ba"])
-
-    # ---- capture the real per-frame bundles from the host loop --------
-    bundles, snap = [], {}
-    orig = mgr._jit_full
-
-    def capture(state, fb):
-        if len(bundles) == T_WARM and "state" not in snap:
-            snap["state"] = state
-        bundles.append(fb)
-        return orig(state, fb)
-
-    mgr._jit_full = capture
-    frames = 0
-    while sim.ok() and frames < T_WARM + T_BENCH:
-        r = sim.get_next_imu()
-        if r is None:
-            break
-        t, wm, am = r
-        mgr.feed_imu(t, wm, am)
-        if sim.cur_uwb_t + 1.0 / sim.params.uwb_freq <= t:
-            ru = sim.get_next_uwb()
-            if ru is not None:
-                mgr.feed_uwb(*ru)
-        if sim.cur_cam_t + 1.0 / sim.params.sim_freq_cam <= t:
-            rc = sim.get_next_cam()
-            if rc is None:
-                break
-            mgr.feed_features(*rc)
-            frames += 1
-
-    bench_bundles = bundles[T_WARM:T_WARM + T_BENCH]
-    state0 = snap["state"]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bench_bundles)
-    from functools import partial
 
     from uvio_tpu.pipeline import full_filter_step
 
     def run_chunk(state, fbs):
         def body(st, fb):
-            st, infos = full_filter_step(st, fb, cfg=mgr._full_cfg)
+            st, infos = full_filter_step(st, fb, cfg=full_cfg)
             return st, infos["msckf"]["num_used"]
 
         return jax.lax.scan(body, state, fbs)

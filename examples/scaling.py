@@ -1,112 +1,195 @@
-"""Data-parallel scaling of the filter pipeline over a device mesh.
+"""Scaling of the framework over a device mesh, on REAL workloads.
 
-Runs B independent sequence states through the vmapped fused filter
-step, sharded over the mesh "dp" axis, and reports frames/s and scaling
-efficiency vs a single device — the Monte-Carlo / dataset-evaluation
-axis (the reference's `error_dataset` many-runs use case, executed as
-one device program instead of N processes).
+Two axes, matching SURVEY §2.6:
 
-On a CPU host, run with a virtual mesh:
+1. **Data-parallel filter scaling** — B independent VIO sequences run
+   the FULL fused frame step (UWB drain + propagate/clone + MSCKF +
+   SLAM + marginalize) vmapped and sharded over mesh axis "dp". Inputs
+   are FrameBundles captured from a real simulated host loop
+   (`uvio_tpu.eval.capture`), not random tensors. Weak scaling: B = n
+   devices, report sequence-frames/s and efficiency.
+
+2. **Sharded bundle-adjustment strong scaling** — one fixed keyframe
+   x landmark map refined by `parallel/ba.py` on a 2D ("kf", "lm")
+   mesh; report solve time vs devices.
+
+On this box multi-chip TPU hardware is not available, so the committed
+table (`benchmarks/scaling_results.json`) is measured on a virtual
+N-device CPU mesh. IMPORTANT caveat on reading it: the N virtual
+devices SHARE one host's physical cores (a 1-device XLA:CPU run
+already uses every core via intra-op parallelism), so NO speedup is
+achievable by construction — the table measures the *partitioning +
+collective overhead* of the sharded programs (lower is better), and
+validates that the sharded programs compile, execute, and match the
+unsharded math (equality is asserted in tests/test_ba.py). Real
+scaling numbers require multi-chip ICI; per-chip TPU throughput is
+bench.py's number.
+
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/scaling.py
+        python examples/scaling.py --write benchmarks/scaling_results.json
 """
 
 import argparse
+import json
 import time
 
 import numpy as np
 
+_CAPTURED = {}
 
-def run(n_devices: int, frames_per_chunk=50, n_chunks=4, seq_per_device=1):
+
+def _bundles(T):
+    """Capture (once) T real FrameBundles + warm state from a sim run."""
+    if "data" not in _CAPTURED:
+        from uvio_tpu.eval.capture import capture_sim_bundles
+
+        _CAPTURED["data"] = capture_sim_bundles(
+            n_warm=15, n_bench=T, seed=7, max_slam=25, dtype="float32"
+        )
+    return _CAPTURED["data"]
+
+
+def run_filter_dp(n_devices: int, T=40, n_rep=3):
+    """Weak-scaling fused-full-step throughput: B = n_devices sequences."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from uvio_tpu.pipeline import StepConfig, filter_step
-    from uvio_tpu.types import StateLayout, init_state
+    from uvio_tpu.pipeline import full_filter_step
 
-    layout = StateLayout(max_clones=12, max_imu_batch=24, max_slam=0)
-    cfg = StepConfig(layout=layout)
-    F, K, C, M = 40, layout.max_clones, layout.num_cams, layout.max_imu_batch
-    B = n_devices * seq_per_device
-    T = frames_per_chunk
-
-    rng = np.random.default_rng(0)
-
-    def one_state():
-        s = init_state(layout, dtype=jnp.float32)
-        return s.replace(
-            time=jnp.asarray(0.0, jnp.float64),
-            cov=jnp.asarray(np.eye(layout.dim) * 1e-4, jnp.float32),
-            calib_cam_intr=jnp.asarray(
-                np.tile([458.0, 458, 367, 248, 0, 0, 0, 0], (C, 1)), jnp.float32
-            ),
-        )
-
-    states = jax.tree.map(lambda *xs: jnp.stack(xs), *[one_state() for _ in range(B)])
-
-    def frames(t0):
-        dt = 0.1
-        ts = t0 + np.arange(T)[None, :, None] * dt + np.linspace(0, dt, M)[None, None, :]
-        return (
-            jnp.asarray(np.tile(ts, (B, 1, 1))),
-            jnp.asarray(0.1 * rng.standard_normal((B, T, M, 3)), jnp.float32),
-            jnp.asarray(
-                np.tile([0.0, 0, 9.81], (B, T, M, 1))
-                + 0.2 * rng.standard_normal((B, T, M, 3)),
-                jnp.float32,
-            ),
-            jnp.asarray(rng.uniform(100, 600, (B, T, F, K, C, 2)), jnp.float32),
-            jnp.asarray(rng.uniform(size=(B, T, F, K, C)) < 0.6),
-        )
+    full_cfg, state0, bundles = _bundles(T)
+    B = n_devices
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bundles)  # (T, ...)
+    batched = jax.tree.map(lambda x: jnp.stack([x] * B), stacked)  # (B,T,...)
+    states = jax.tree.map(lambda x: jnp.stack([x] * B), state0)
 
     devs = np.array(jax.devices()[:n_devices])
     mesh = Mesh(devs, ("dp",))
     shard = NamedSharding(mesh, P("dp"))
 
-    def chunk(states, fr):
+    def chunk(states, fbs):
         def per_seq(s, f):
-            def body(st, one_frame):
-                st, info = filter_step(st, *one_frame, cfg=cfg)
-                return st, info["num_used"]
+            def body(st, fb):
+                st, infos = full_filter_step(st, fb, cfg=full_cfg)
+                return st, infos["msckf"]["num_used"]
 
             return jax.lax.scan(body, s, f)
 
-        return jax.vmap(per_seq)(states, fr)
+        return jax.vmap(per_seq)(states, fbs)
 
     run_c = jax.jit(chunk, in_shardings=(shard, shard), out_shardings=(shard, shard))
-
     states = jax.device_put(states, shard)
-    fr0 = jax.device_put(frames(0.0), shard)
-    states, _ = run_c(states, fr0)
-    jax.block_until_ready(states.cov)
+    batched = jax.device_put(batched, shard)
+    out, _ = run_c(states, batched)
+    jax.block_until_ready(out.cov)  # compile + warm
 
-    chs = [jax.device_put(frames(100.0 * (i + 1)), shard) for i in range(n_chunks)]
     t0 = time.time()
-    for ch in chs:
-        states, _ = run_c(states, ch)
-    jax.block_until_ready(states.cov)
+    for _ in range(n_rep):
+        out, _ = run_c(states, batched)
+    jax.block_until_ready(out.cov)
     wall = time.time() - t0
-    fps = B * T * n_chunks / wall
-    return fps
+    return B * T * n_rep / wall  # sequence-frames per second
+
+
+def run_ba_strong(n_devices: int, N=32, L=2048, iters=8, n_rep=3):
+    """Strong-scaling sharded BA: one fixed map, more devices."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from uvio_tpu.parallel.ba import BAOptions, ba_solve
+
+    rng = np.random.default_rng(0)
+    th = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    p = np.stack([3 * np.cos(th), 3 * np.sin(th), 0.1 * np.sin(2 * th)], axis=1)
+    lm = rng.uniform(-1.5, 1.5, (L, 3))
+    # cameras look at the origin
+    from uvio_tpu.math import rot_to_quat
+
+    qs, Rs = [], []
+    for k in range(N):
+        z = -p[k] / np.linalg.norm(p[k])
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z]))
+        qs.append(np.asarray(rot_to_quat(jnp.asarray(Rs[-1]))))
+    q = np.stack(qs)
+    R = np.stack(Rs)
+    pc = np.einsum("nij,lnj->lni", R, lm[:, None, :] - p[None, :, :])
+    mask = pc[..., 2] > 0.5
+    obs = pc[..., :2] / np.where(np.abs(pc[..., 2:]) < 1e-3, 1e-3, pc[..., 2:])
+    obs += 1e-3 * rng.standard_normal(obs.shape)
+    lm0 = lm + 0.1 * rng.standard_normal(lm.shape)
+
+    kf_ax = 2 if n_devices % 2 == 0 else 1
+    mesh = (
+        Mesh(
+            np.array(jax.devices()[:n_devices]).reshape(kf_ax, n_devices // kf_ax),
+            ("kf", "lm"),
+        )
+        if n_devices > 1
+        else None
+    )
+    args = (jnp.asarray(q), jnp.asarray(p), jnp.asarray(lm0),
+            jnp.asarray(obs), jnp.asarray(mask))
+    opts = BAOptions(iters=iters)
+    _, _, lmr, _ = ba_solve(*args, opts, mesh=mesh)
+    jax.block_until_ready(lmr)  # compile + warm
+    t0 = time.time()
+    for _ in range(n_rep):
+        _, _, lmr, info = ba_solve(*args, opts, mesh=mesh)
+    jax.block_until_ready(lmr)
+    return (time.time() - t0) / n_rep
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-devices", type=int, default=None)
+    ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--write", type=str, default=None)
     args = ap.parse_args()
     import jax
 
     nd = len(jax.devices())
-    if args.max_devices:
-        nd = min(nd, args.max_devices)
-    results = {}
-    for n in [1, nd] if nd > 1 else [1]:
-        results[n] = run(n)
-    base = results[1]
-    print(f"\n{'devices':>8} {'seq-frames/s':>14} {'speedup':>9} {'efficiency':>11}")
-    for n, fps in results.items():
-        print(f"{n:>8} {fps:>14.1f} {fps / base:>9.2f}x {fps / base / n:>10.1%}")
+    device_counts = args.devices or [n for n in (1, 2, 4, 8) if n <= nd]
+
+    platform = jax.devices()[0].platform
+    results = {
+        "platform": platform,
+        "filter_dp_seq_frames_per_s": {},
+        "ba_strong_solve_s": {},
+    }
+    if platform == "cpu":
+        results["note"] = (
+            "virtual CPU mesh: the N devices share one host's physical "
+            "cores, so no speedup is achievable by construction; this "
+            "table measures partitioning+collective overhead of the "
+            "sharded programs and validates they execute. Real scaling "
+            "needs multi-chip ICI."
+        )
+    for n in device_counts:
+        results["filter_dp_seq_frames_per_s"][n] = run_filter_dp(n)
+        results["ba_strong_solve_s"][n] = run_ba_strong(n)
+
+    base_fps = results["filter_dp_seq_frames_per_s"][device_counts[0]]
+    base_t = results["ba_strong_solve_s"][device_counts[0]]
+    hdr = "" if platform != "cpu" else "  (shared-core virtual mesh: overhead table, no speedup achievable)"
+    print(f"\n== full fused step, weak scaling (B = devices) [{platform}]{hdr} ==")
+    print(f"{'devices':>8} {'seq-frames/s':>14} {'vs 1-dev':>9}")
+    for n in device_counts:
+        fps = results["filter_dp_seq_frames_per_s"][n]
+        print(f"{n:>8} {fps:>14.1f} {fps / base_fps:>8.2f}x")
+    print(f"\n== sharded BA (32 kf x 2048 lm), strong scaling [{platform}]{hdr} ==")
+    print(f"{'devices':>8} {'solve (s)':>11} {'vs 1-dev':>9}")
+    for n in device_counts:
+        t = results["ba_strong_solve_s"][n]
+        print(f"{n:>8} {t:>11.3f} {base_t / t:>8.2f}x")
+
+    if args.write:
+        with open(args.write, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"\nwrote {args.write}")
 
 
 if __name__ == "__main__":

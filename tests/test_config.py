@@ -139,3 +139,23 @@ def test_euroc_config_end_to_end_sim():
     )
     # stereo with real calibration: metric scale observable
     assert res["rmse_pos"] < 0.10, res["rmse_pos"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference configs not mounted")
+def test_dyn_init_options_parsed():
+    """The init_dyn_* knob block (`InertialInitializerOptions.h:64-116`)
+    must reach DynamicInitOptions (euroc_mav estimator_config.yaml sets
+    mle_max_iter=50, inflation_vel=100, min_rec_cond=1e-12)."""
+    cfg, _ = load_config(os.path.join(REF, "euroc_mav"))
+    d = cfg.dyn_init_options
+    assert d is not None
+    assert d.gn_iters == 50
+    assert d.num_pose == 6
+    assert d.min_deg == pytest.approx(10.0)
+    assert d.inflation_ori == pytest.approx(10.0)
+    assert d.inflation_vel == pytest.approx(100.0)
+    assert d.inflation_bg == pytest.approx(10.0)
+    assert d.inflation_ba == pytest.approx(100.0)
+    assert d.min_rec_cond == pytest.approx(1e-12)
+    np.testing.assert_allclose(d.init_bias_g, 0.0)
+    assert d.mle_opt_calib is False

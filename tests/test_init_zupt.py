@@ -129,3 +129,78 @@ def test_zupt_reduces_bias_uncertainty():
     assert np.trace(P1[9:15, 9:15]) < np.trace(P0[9:15, 9:15])
     # position cols untouched (no position info in ZUPT)
     np.testing.assert_allclose(P1[3:6, 3:6], P0[3:6, 3:6], atol=1e-12)
+
+
+def test_zupt_explicit_constrains_to_clone():
+    """Explicit zero-motion variant (`UpdaterZeroVelocity.cpp:283-330`):
+    on accept, the propagated IMU pose is pulled toward the newest clone
+    and the velocity toward zero."""
+    from uvio_tpu.update.zupt import zupt_explicit_update
+
+    layout = StateLayout(max_clones=4, max_imu_batch=16)
+    R = Rsp.from_euler("xyz", [5, 3, 0], degrees=True).as_matrix()
+    bg = np.zeros(3)
+    ba = np.zeros(3)
+    t, w, a = stationary_imu(16, R, bg, ba)
+    s = _make_state(layout, R, bg, ba, v=np.array([0.02, -0.01, 0.0]))
+    # uncertain pose/velocity prior so the (soft, sigma_pos=0.1 m)
+    # constraint dominates; biases stay tight so the chi2 gate still
+    # rejects a gyro offset as motion rather than absorbing it as bias
+    diag = np.full(layout.dim, 1e-3)
+    diag[0:9] = 0.04  # theta, p, v
+    diag[layout.clone_slot_off(0):layout.clone_slot_off(0) + 6] = 0.04
+    diag[9:15] = 1e-5  # bg, ba
+    s = s.replace(cov=jnp.asarray(np.diag(diag)))
+    # a clone at the true stationary pose; the IMU mean has drifted 5 cm
+    q = rot_to_quat(jnp.asarray(R))
+    p_clone = np.array([1.0, 2.0, 0.5])
+    s = s.replace(
+        p=jnp.asarray(p_clone + np.array([0.05, -0.04, 0.03])),
+        clones_q=s.clones_q.at[0].set(q),
+        clones_p=s.clones_p.at[0].set(jnp.asarray(p_clone)),
+        clones_q_fej=s.clones_q_fej.at[0].set(q),
+        clones_p_fej=s.clones_p_fej.at[0].set(jnp.asarray(p_clone)),
+        clones_t=s.clones_t.at[0].set(0.0),
+        clones_valid=s.clones_valid.at[0].set(True),
+        clone_head=jnp.asarray(0, jnp.int32),
+    )
+    gap0 = np.linalg.norm(np.asarray(s.p) - p_clone)
+    ns, acc, gamma = zupt_explicit_update(
+        s, layout, jnp.asarray(t), jnp.asarray(w), jnp.asarray(a),
+        NoiseManager(), G, noise_mult=10.0,
+        stamp_time=jnp.asarray(t[-1], jnp.float64),
+    )
+    assert bool(acc), float(gamma)
+    assert float(ns.time) == t[-1]
+    gap1 = np.linalg.norm(np.asarray(ns.p) - np.asarray(ns.clones_p[0]))
+    assert gap1 < 0.3 * gap0, (gap0, gap1)
+    assert np.linalg.norm(np.asarray(ns.v)) < 0.5 * np.linalg.norm(np.asarray(s.v))
+
+    # moving IMU -> rejected, state untouched
+    ns2, acc2, _ = zupt_explicit_update(
+        s, layout, jnp.asarray(t), jnp.asarray(w + np.array([1.5, 0, 0])),
+        jnp.asarray(a), NoiseManager(), G, noise_mult=10.0,
+    )
+    assert not bool(acc2)
+    np.testing.assert_allclose(np.asarray(ns2.p), np.asarray(s.p))
+
+
+def test_zupt_explicit_falls_back_without_clone():
+    """No clone in the state yet -> the explicit variant applies the
+    plain inertial update instead."""
+    from uvio_tpu.update.zupt import zupt_explicit_update
+
+    layout = StateLayout(max_clones=4, max_imu_batch=16)
+    R = np.eye(3)
+    t, w, a = stationary_imu(16, R, np.zeros(3), np.zeros(3))
+    s = _make_state(layout, R, np.zeros(3), np.zeros(3))
+    ns, acc, _ = zupt_explicit_update(
+        s, layout, jnp.asarray(t), jnp.asarray(w), jnp.asarray(a),
+        NoiseManager(), G,
+    )
+    assert bool(acc)
+    # inertial semantics: position block untouched
+    np.testing.assert_allclose(
+        np.asarray(ns.cov)[3:6, 3:6], np.asarray(s.cov)[3:6, 3:6], atol=1e-12
+    )
+    assert float(ns.time) == t[-1]

@@ -38,13 +38,30 @@ from .static_init import StaticInitResult, gravity_aligned_quat
 @dataclasses.dataclass
 class DynamicInitOptions:
     num_pose: int = 6  # init_dyn_num_pose
-    max_features: int = 25
-    gn_iters: int = 10
+    max_features: int = 25  # init_max_features
+    gn_iters: int = 10  # init_dyn_mle_max_iter
     sigma_pix_norm: float = 2e-3  # reprojection sigma in normalized units
     bias_prior: float = 0.1
     gravity_mag: float = 9.81
     min_features: int = 8
     max_reproj_rmse: float = 5e-3  # acceptance gate (normalized units)
+    # remaining reference knob set (`InertialInitializerOptions.h:64-116`)
+    min_deg: float = 10.0  # init_dyn_min_deg: rotation gate before trying
+    min_rec_cond: float = 1e-15  # init_dyn_min_rec_cond: Hessian rcond gate
+    # covariance inflation of the seeded prior (applied as
+    # sigma = base_sigma * sqrt(inflation); the defaults reproduce the
+    # reference defaults 10/10/100/100)
+    inflation_ori: float = 10.0  # init_dyn_inflation_orientation
+    inflation_vel: float = 10.0  # init_dyn_inflation_velocity
+    inflation_bg: float = 100.0  # init_dyn_inflation_bias_gyro
+    inflation_ba: float = 100.0  # init_dyn_inflation_bias_accel
+    # initial bias seeds for the MLE (init_dyn_bias_{g,a})
+    init_bias_g: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    init_bias_a: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    # init_dyn_mle_opt_calib: parsed for config parity but NOT applied —
+    # the reference itself ships it default-off and warns it is unstable;
+    # calibration states refine online in the filter instead
+    mle_opt_calib: bool = False
 
 
 def _shoot_poses(cpis, v0, g):
@@ -195,8 +212,8 @@ def solve_dynamic_init(
     params = {
         "v0": x_lin[0:3],
         "g": g_lin * g_scale,
-        "bg": zero3,
-        "ba": zero3,
+        "bg": jnp.asarray(opts.init_bias_g, dtype),  # init_dyn_bias_g seed
+        "ba": jnp.asarray(opts.init_bias_a, dtype),
         "feats": x_lin[6:].reshape(F, 3),
     }
 
@@ -231,10 +248,16 @@ def solve_dynamic_init(
     H = J.T @ J + 1e-6 * jnp.eye(x_opt.shape[0], dtype=dtype)
     n_obs = jnp.sum(obs_mask)
     rmse = jnp.sqrt(jnp.sum(r[: -7] ** 2) * opts.sigma_pix_norm**2 / jnp.maximum(2 * n_obs, 1))
+    # reciprocal condition number of the information over the IMU-state
+    # block (v0,g,bg,ba) — the reference gates covariance recovery on
+    # rcond (init_dyn_min_rec_cond, `DynamicInitializer.cpp:~960-1010`)
+    eigs = jnp.linalg.eigvalsh(H[:12, :12])
+    rcond = jnp.abs(eigs[0]) / jnp.maximum(jnp.abs(eigs[-1]), 1e-30)
     return {
         "params": p_opt,
         "hessian": H,
         "rmse_norm": rmse,
+        "rcond": rcond,
         "n_obs": n_obs,
         "R_0P_all": None,
     }

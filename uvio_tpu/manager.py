@@ -116,11 +116,25 @@ class VioConfig:
     zupt_max_velocity: float = 0.1
     zupt_max_disparity: float = 0.5
     zupt_only_at_beginning: bool = False
+    # explicit zero-motion clone-pair constraint variant
+    # (`UpdaterZeroVelocity.cpp:283-330`)
+    zupt_explicit: bool = False
     # run the whole frame (UWB drain + ZUPT + propagate/clone + MSCKF +
     # SLAM + marginalize) as ONE jitted device dispatch (pipeline.
     # full_filter_step). False = legacy staged path with one dispatch
     # and a host sync per stage (kept for per-stage timing/debugging).
     fused_step: bool = True
+    # action on a corrupted covariance after an update (negative
+    # diagonal or NaN): "raise" mirrors the reference's hard exit
+    # (`StateHelper.cpp:102-113`), "warn" logs and keeps filtering,
+    # "ignore" is silent.
+    on_cov_fail: str = "raise"
+
+
+class CovarianceError(RuntimeError):
+    """Covariance diagonal went negative/NaN after an update — the
+    filter state is corrupted (the reference exits the process here,
+    `StateHelper::EKFUpdate`, `StateHelper.cpp:102-113`)."""
 
 
 class VioManager:
@@ -291,9 +305,28 @@ class VioManager:
                 zupt_chi2_mult=cfg.zupt_chi2_mult,
                 zupt_noise_mult=cfg.zupt_noise_mult,
                 zupt_max_velocity=cfg.zupt_max_velocity,
+                zupt_explicit=cfg.zupt_explicit,
                 **self._full_step_extras(),
             )
             self._jit_full = make_full_step(self._full_cfg)
+
+    # ------------------------------------------------------------------
+    def _check_cov_ok(self, cov_ok: bool, where: str):
+        """Act on the device-side covariance health flag (negative
+        diagonal / NaN after an update). Reference hard-exits
+        (`StateHelper.cpp:102-113`); policy via cfg.on_cov_fail."""
+        if cov_ok:
+            return
+        msg = (
+            f"covariance diagonal negative/NaN after {where} at "
+            f"t={float(self.state.time):.6f}"
+        )
+        if self.cfg.on_cov_fail == "raise":
+            raise CovarianceError(msg)
+        if self.cfg.on_cov_fail == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning)
 
     # ------------------------------------------------------------------
     def _full_step_extras(self) -> dict:
@@ -375,6 +408,20 @@ class VioManager:
         from .math import quat_to_rot
 
         opts = self.cfg.dyn_init_options or DynamicInitOptions()
+        # rotation gate (init_dyn_min_deg): require accumulated gyro
+        # rotation over the window before attempting (the reference sums
+        # |w| dt in degrees, `DynamicInitializer.cpp:~110-130`)
+        if opts.min_deg > 0 and self._imu_t:
+            it = np.asarray(self._imu_t)
+            iw = np.stack(self._imu_w)
+            span0 = t - self.cfg.init_options.window_time
+            sel = it >= span0
+            if sel.sum() >= 2:
+                dts = np.diff(it[sel])
+                wn = np.linalg.norm(iw[sel][1:], axis=1)
+                deg = np.degrees(np.sum(wn * np.clip(dts, 0, None)))
+                if deg < opts.min_deg:
+                    return False
         # frame times observed so far (from the db)
         all_times = sorted({tt for f in self.db.features.values() for tt in f.times()})
         if len(all_times) < opts.num_pose:
@@ -444,6 +491,10 @@ class VioManager:
         )
         if float(out["rmse_norm"]) > opts.max_reproj_rmse:
             return False
+        # conditioning gate (init_dyn_min_rec_cond): accept only if the
+        # IMU-state information block is well conditioned
+        if float(out["rcond"]) < opts.min_rec_cond:
+            return False
         # bias plausibility gates (an init that "explains" motion with a
         # huge accel bias is overfit, not initialized)
         p_sol = out["params"]
@@ -455,14 +506,21 @@ class VioManager:
 
         st = result_to_state_first(out["params"], opts)
         st["time"] = pose_times[0]
+        # seeded prior stds, scaled by the reference's inflation knobs
+        # (init_dyn_inflation_*; base sigmas chosen so the reference
+        # defaults 10/10/100/100 reproduce the tuned values below)
+        s_ori = 0.10 * np.sqrt(opts.inflation_ori / 10.0)
+        s_vel = 0.30 * np.sqrt(opts.inflation_vel / 10.0)
+        s_bg = 0.05 * np.sqrt(opts.inflation_bg / 100.0)
+        s_ba = 0.20 * np.sqrt(opts.inflation_ba / 100.0)
         prior_std = np.concatenate(
             [
-                np.full(2, 0.10),  # roll/pitch (gravity estimate quality)
+                np.full(2, s_ori),  # roll/pitch (gravity estimate quality)
                 np.full(1, 1e-4),  # yaw pinned (frame definition)
                 np.full(3, 1e-4),  # position (origin definition)
-                np.full(3, 0.30),  # velocity
-                np.full(3, 0.05),
-                np.full(3, 0.20),
+                np.full(3, s_vel),  # velocity
+                np.full(3, s_bg),
+                np.full(3, s_ba),
             ]
         )
         self.initialize_with_gt(
@@ -502,9 +560,17 @@ class VioManager:
             return False
         tt, ww, aa, dt_now = self._select_imu_window(t)
         if not hasattr(self, "_jit_zupt"):
+            if self.cfg.zupt_explicit:
+                from .update.zupt import zupt_explicit_update
+
+                zupt_fn = partial(
+                    zupt_explicit_update, integration=self.cfg.integration
+                )
+            else:
+                zupt_fn = zupt_try_update
             self._jit_zupt = jax.jit(
                 partial(
-                    zupt_try_update,
+                    zupt_fn,
                     layout=self.layout,
                     noises=self.cfg.noises,
                     gravity_mag=self.cfg.gravity_mag,
@@ -826,6 +892,7 @@ class VioManager:
             self._record_fused_timing(t, t1h - t0h, t2h - t1h, 0.0)
             return
 
+        self._check_cov_ok(bool(infos["cov_ok"]), "fused frame step")
         self.last_msckf_info = infos["msckf"]
         self.last_uwb_info = {"accepted": infos["uwb_accepted"]}
         self._consume_uwb_sets(sets)
@@ -1005,6 +1072,7 @@ class VioManager:
             return
         uv, mask = self._build_obs(feats)
         self.state, info = self._jit_msckf(self.state, obs_uv=uv, obs_mask=mask)
+        self._check_cov_ok(bool(info["cov_ok"]), "msckf update")
         self.last_msckf_info = info
         # consume used features (reference sets to_delete on MSCKF feats)
         for f in feats:
@@ -1052,6 +1120,7 @@ class VioManager:
             self.state, info = self._jit_slam_up(
                 self.state, obs_uv=jnp.asarray(uv), obs_mask=jnp.asarray(mask)
             )
+            self._check_cov_ok(bool(info["cov_ok"]), "slam update")
             failed = np.asarray(info["failed"])
             for fid in list(self.slam_slot_by_fid):
                 slot = self.slam_slot_by_fid[fid]

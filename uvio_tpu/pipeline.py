@@ -150,6 +150,9 @@ class FullStepConfig:
     zupt_chi2_mult: float = 1.0
     zupt_noise_mult: float = 10.0
     zupt_max_velocity: float = 0.1
+    # explicit zero-motion clone-pair constraint instead of the direct
+    # inertial update (`UpdaterZeroVelocity.cpp:283-330`)
+    zupt_explicit: bool = False
 
 
 def _dummy_infos(cfg: FullStepConfig, F: int, S: int, Fc: int, U: int, A: int):
@@ -186,15 +189,24 @@ def full_filter_step(state: FilterState, fb: FrameBundle, *, cfg: FullStepConfig
 
     # ---- ZUPT attempt (static compile-out when disabled) -------------
     if cfg.try_zupt:
-        from .update.zupt import zupt_try_update
+        from .update.zupt import zupt_explicit_update, zupt_try_update
 
         def attempt(s):
-            s2, acc, _ = zupt_try_update(
-                s, L, fb.zupt_imu_t, fb.zupt_imu_w, fb.zupt_imu_a,
-                cfg.noises, cfg.gravity_mag,
+            kwargs = dict(
                 chi2_mult=cfg.zupt_chi2_mult, noise_mult=cfg.zupt_noise_mult,
                 max_velocity=cfg.zupt_max_velocity, stamp_time=fb.stamp_time,
             )
+            if cfg.zupt_explicit:
+                s2, acc, _ = zupt_explicit_update(
+                    s, L, fb.zupt_imu_t, fb.zupt_imu_w, fb.zupt_imu_a,
+                    cfg.noises, cfg.gravity_mag,
+                    integration=cfg.integration, **kwargs,
+                )
+            else:
+                s2, acc, _ = zupt_try_update(
+                    s, L, fb.zupt_imu_t, fb.zupt_imu_w, fb.zupt_imu_a,
+                    cfg.noises, cfg.gravity_mag, **kwargs,
+                )
             return s2, acc
 
         st_z, z_acc = jax.lax.cond(

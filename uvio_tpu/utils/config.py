@@ -107,6 +107,55 @@ def _parse_imu_intrinsics(cfg, imu0):
     return out
 
 
+def _parse_dyn_init(cfg):
+    """Dynamic-init knob block (`InertialInitializerOptions.h:64-116`).
+
+    `init_dyn_mle_max_threads` / `init_dyn_mle_max_time` are ceres
+    runtime caps with no analog here (the MLE is a fixed-iteration
+    jitted Gauss-Newton) and are intentionally not mapped.
+    """
+    from ..init.dynamic_init import DynamicInitOptions
+
+    d = DynamicInitOptions()
+    return DynamicInitOptions(
+        num_pose=int(cfg.get("init_dyn_num_pose", d.num_pose)),
+        max_features=int(cfg.get("init_max_features", d.max_features)),
+        gn_iters=int(cfg.get("init_dyn_mle_max_iter", d.gn_iters)),
+        min_deg=float(cfg.get("init_dyn_min_deg", d.min_deg)),
+        min_rec_cond=float(cfg.get("init_dyn_min_rec_cond", d.min_rec_cond)),
+        # shipped yamls use the short spellings (estimator_config.yaml),
+        # the options header documents the long ones — accept both
+        inflation_ori=float(
+            cfg.get(
+                "init_dyn_inflation_ori",
+                cfg.get("init_dyn_inflation_orientation", d.inflation_ori),
+            )
+        ),
+        inflation_vel=float(
+            cfg.get(
+                "init_dyn_inflation_vel",
+                cfg.get("init_dyn_inflation_velocity", d.inflation_vel),
+            )
+        ),
+        inflation_bg=float(
+            cfg.get(
+                "init_dyn_inflation_bg",
+                cfg.get("init_dyn_inflation_bias_gyro", d.inflation_bg),
+            )
+        ),
+        inflation_ba=float(
+            cfg.get(
+                "init_dyn_inflation_ba",
+                cfg.get("init_dyn_inflation_bias_accel", d.inflation_ba),
+            )
+        ),
+        init_bias_g=np.asarray(cfg.get("init_dyn_bias_g", [0.0, 0.0, 0.0]), float),
+        init_bias_a=np.asarray(cfg.get("init_dyn_bias_a", [0.0, 0.0, 0.0]), float),
+        mle_opt_calib=bool(cfg.get("init_dyn_mle_opt_calib", False)),
+        gravity_mag=float(cfg.get("gravity_mag", d.gravity_mag)),
+    )
+
+
 def load_config(config_path: str):
     """Load `estimator_config.yaml` (or its directory) into a VioConfig
     (or UVioConfig when a uwb_config.yaml is present).
@@ -175,6 +224,9 @@ def load_config(config_path: str):
         zupt_noise_mult=float(cfg.get("zupt_noise_multiplier", 10.0)),
         zupt_max_disparity=float(cfg.get("zupt_max_disparity", 0.5)),
         zupt_only_at_beginning=bool(cfg.get("zupt_only_at_beginning", False)),
+        # the reference hardcodes explicitly_enforce_zero_motion=false
+        # (`UpdaterZeroVelocity.cpp:114`); exposed here as a yaml knob
+        zupt_explicit=bool(cfg.get("zupt_explicitly_enforce_zero_motion", False)),
         init_options=StaticInitOptions(
             window_time=float(cfg.get("init_window_time", 2.0)),
             imu_thresh=float(cfg.get("init_imu_thresh", 1.5)),
@@ -182,6 +234,7 @@ def load_config(config_path: str):
         ),
         init_max_disparity=float(cfg.get("init_max_disparity", 10.0)),
         use_dynamic_init=bool(cfg.get("init_dyn_use", False)),
+        dyn_init_options=_parse_dyn_init(cfg),
     )
     common.update(_parse_imu_intrinsics(cfg, imu0))
 
