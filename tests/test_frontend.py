@@ -208,3 +208,53 @@ def test_stereo_klt_on_rendered_sim():
         # baseline 0.11 m, depth 5-10 m, f=458 -> disparity ~ 5..10 px
         assert 2.0 < np.median(np.abs(dus)) < 20.0, np.median(dus)
     assert matched > 30
+
+
+def test_hist_equalize_matches_cv2():
+    """Device-side global equalization vs the reference's cv2 call
+    (`TrackKLT.cpp:58-60`)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from uvio_tpu.frontend.klt import hist_equalize
+
+    rng = np.random.default_rng(0)
+    # low-contrast image with structure
+    img = (80 + 40 * rng.random((64, 96))).astype(np.float32)
+    img[20:40, 30:60] += 25
+    ours = np.asarray(hist_equalize(jnp.asarray(img)))
+    ref = cv2.equalizeHist(np.clip(img, 0, 255).astype(np.uint8)).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 1.0 + 1e-6  # rounding-mode slack
+    # contrast actually expands
+    assert ours.std() > img.std()
+
+
+def test_grid_detect_per_cell_topn():
+    """per_cell>1 returns N distinct corners per free cell
+    (`Grider_FAST.h:73` num-per-cell extraction)."""
+    import jax.numpy as jnp
+
+    from uvio_tpu.frontend.klt import grid_detect
+
+    score = np.zeros((32, 32), np.float32)
+    # two strong separated corners in cell (0,0), one in cell (1,1)
+    score[4, 4] = 10.0
+    score[12, 12] = 8.0
+    score[20, 24] = 5.0
+    uv, valid = grid_detect(
+        jnp.asarray(score), 2, 2, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+        per_cell=2,
+    )
+    uv, valid = np.asarray(uv), np.asarray(valid)
+    got = {tuple(map(int, p)) for p in uv[valid]}
+    assert (4, 4) in got and (12, 12) in got and (24, 20) in got
+    assert valid.sum() == 3
+    # adjacent duplicate pixels of one blob are suppressed
+    score2 = np.zeros((32, 32), np.float32)
+    score2[4, 4] = 10.0
+    score2[4, 5] = 9.5
+    _, valid2 = grid_detect(
+        jnp.asarray(score2), 2, 2, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+        per_cell=2,
+    )
+    assert np.asarray(valid2).sum() == 1

@@ -28,6 +28,30 @@ import jax.numpy as jnp
 
 
 # ---------------------------------------------------------------------------
+# image preprocessing
+# ---------------------------------------------------------------------------
+
+
+def hist_equalize(img: jnp.ndarray) -> jnp.ndarray:
+    """Global histogram equalization, jit-safe (the reference calls
+    `cv2::equalizeHist` on every frame before tracking,
+    `TrackKLT.cpp:58-60`; here it fuses into the device step).
+
+    img float32 (H,W) in [0,255]; same output convention."""
+    u8 = jnp.clip(img, 0.0, 255.0).astype(jnp.int32)
+    hist = jnp.zeros(256, jnp.int32).at[u8.reshape(-1)].add(1)
+    cdf = jnp.cumsum(hist)
+    # cv2 semantics: lut(v) = round((cdf(v) - cdf_min) / (N - cdf_min) * 255)
+    # with cdf_min the first nonzero bin's cdf
+    nz = hist > 0
+    cdf_min = jnp.min(jnp.where(nz, cdf, jnp.iinfo(jnp.int32).max))
+    denom = jnp.maximum(u8.size - cdf_min, 1)
+    lut = jnp.round((cdf - cdf_min).astype(jnp.float32) / denom * 255.0)
+    lut = jnp.clip(lut, 0.0, 255.0)
+    return lut[u8.reshape(-1)].reshape(img.shape)
+
+
+# ---------------------------------------------------------------------------
 # FAST corner scoring
 # ---------------------------------------------------------------------------
 
@@ -89,12 +113,16 @@ def grid_detect(
     occupied_uv: jnp.ndarray,
     occupied_mask: jnp.ndarray,
     min_score: float = 1e-3,
+    per_cell: int = 1,
 ):
-    """Top-1 corner per free grid cell (Grider_GRID semantics).
+    """Top-N corners per free grid cell (Grider_GRID semantics; the
+    reference extracts `num_features/grid` corners per cell,
+    `Grider_FAST.h:73`).
 
     occupied_uv (N,2) current feature pixels; cells containing an active
     feature are skipped (the reference's per-cell occupancy check).
-    Returns (uv (grid_y*grid_x, 2) float, valid (grid_y*grid_x,)).
+    Returns (uv (grid_y*grid_x*per_cell, 2) float,
+    valid (grid_y*grid_x*per_cell,)).
     """
     H, W = score.shape
     ch, cw = H // grid_y, W // grid_x
@@ -102,13 +130,12 @@ def grid_detect(
     cells = crop.reshape(grid_y, ch, grid_x, cw).transpose(0, 2, 1, 3).reshape(
         grid_y * grid_x, ch * cw
     )
-    best = jnp.argmax(cells, axis=1)
-    best_score = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+    best_score, best = jax.lax.top_k(cells, per_cell)  # (G, per_cell)
     cy = best // cw
     cx = best % cw
-    gy = jnp.arange(grid_y * grid_x) // grid_x
-    gx = jnp.arange(grid_y * grid_x) % grid_x
-    uv = jnp.stack([gx * cw + cx, gy * ch + cy], axis=1).astype(score.dtype)
+    gy = (jnp.arange(grid_y * grid_x) // grid_x)[:, None]
+    gx = (jnp.arange(grid_y * grid_x) % grid_x)[:, None]
+    uv = jnp.stack([gx * cw + cx, gy * ch + cy], axis=-1).astype(score.dtype)
 
     # occupancy: mark cells containing an active feature
     occ_cell = (
@@ -118,8 +145,18 @@ def grid_detect(
     occ = jnp.zeros((grid_y * grid_x,), bool).at[occ_cell].set(
         occupied_mask, mode="drop"
     )
-    valid = (best_score > min_score) & ~occ
-    return uv, valid
+    valid = (best_score > min_score) & ~occ[:, None]
+    if per_cell > 1:
+        # min-px-dist suppression inside a cell (Grider_FAST's mask
+        # check): drop a pick within 2 px Chebyshev of a higher-ranked
+        # one — top_k otherwise returns adjacent pixels of one blob
+        dyy = jnp.abs(cy[:, :, None] - cy[:, None, :])
+        dxx = jnp.abs(cx[:, :, None] - cx[:, None, :])
+        close = (dyy <= 2) & (dxx <= 2)
+        higher = jnp.tril(jnp.ones((per_cell, per_cell), bool), -1)
+        valid = valid & ~jnp.any(close & higher[None], axis=-1)
+    G = grid_y * grid_x
+    return uv.reshape(G * per_cell, 2), valid.reshape(G * per_cell)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ class KLTTracker:
         fast_thresh: float = 20.0,
         window_half: int = 7,
         cam_id: int = 0,
+        histeq: str = "HISTOGRAM",
     ):
         self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
         self.cam_model = cam_model
@@ -43,6 +44,10 @@ class KLTTracker:
         self.fast_thresh = fast_thresh
         self.half = window_half
         self.cam_id = cam_id
+        # image preprocessing (`TrackKLT.cpp:56-67`): the reference
+        # equalizes unconditionally; HISTOGRAM runs as jitted device
+        # work, CLAHE falls back to the cv2 host path
+        self.histeq = histeq
 
         self.uv = np.zeros((self.cap, 2), np.float32)
         self.active = np.zeros(self.cap, bool)
@@ -70,6 +75,7 @@ class KLTTracker:
                 cam_model=self.cam_model,
                 half=self.half,
                 fast_thresh=self.fast_thresh,
+                histeq=self.histeq if self.histeq != "CLAHE" else "NONE",
             )
         )
 
@@ -89,7 +95,13 @@ class KLTTracker:
         cam_model,
         half,
         fast_thresh,
+        histeq,
     ):
+        if histeq == "HISTOGRAM":
+            from .klt import hist_equalize
+
+            img_prev = hist_equalize(img_prev)
+            img = hist_equalize(img)
         pyr_prev = build_pyramid(img_prev, levels)
         pyr = build_pyramid(img, levels)
         uv_new, ok = lk_track(pyr_prev, pyr, uv, active, half=half)
@@ -107,13 +119,20 @@ class KLTTracker:
     def feed(self, t: float, img: np.ndarray):
         """Process one image; returns (ids (N,), uvs (N,2)) of active
         tracks (including newly spawned ones)."""
+        if self.histeq == "CLAHE":
+            from .aruco import histogram_equalize
+
+            img = histogram_equalize(np.asarray(img), "CLAHE")
         img_j = jnp.asarray(img, jnp.float32)
         if self._jit_step is None:
             self._build_step(img.shape)
         if self.prev_img is None:
             self.prev_img = img_j
-            # initial detection only
-            score = fast_score(img_j, self.fast_thresh)
+            # initial detection only (same preprocessing as the step)
+            from .klt import hist_equalize
+
+            det_img = hist_equalize(img_j) if self.histeq == "HISTOGRAM" else img_j
+            score = fast_score(det_img, self.fast_thresh)
             det_uv, det_ok = grid_detect(
                 score, self.grid[0], self.grid[1],
                 jnp.asarray(self.uv), jnp.asarray(self.active),
@@ -142,8 +161,19 @@ class KLTTracker:
 
         from .klt import build_pyramid, lk_track
 
-        pl = build_pyramid(jnp.asarray(img_left, jnp.float32), self.levels)
-        pr = build_pyramid(jnp.asarray(img_right, jnp.float32), self.levels)
+        from .klt import hist_equalize
+
+        il = jnp.asarray(img_left, jnp.float32)
+        ir = jnp.asarray(img_right, jnp.float32)
+        if self.histeq == "HISTOGRAM":
+            il, ir = hist_equalize(il), hist_equalize(ir)
+        elif self.histeq == "CLAHE":
+            from .aruco import histogram_equalize
+
+            il = jnp.asarray(histogram_equalize(np.asarray(img_left), "CLAHE"), jnp.float32)
+            ir = jnp.asarray(histogram_equalize(np.asarray(img_right), "CLAHE"), jnp.float32)
+        pl = build_pyramid(il, self.levels)
+        pr = build_pyramid(ir, self.levels)
         uv_r, ok = lk_track(pl, pr, jnp.asarray(uv_left), jnp.asarray(valid), half=self.half)
         return np.array(uv_r), np.array(ok)
 

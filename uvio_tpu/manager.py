@@ -857,21 +857,24 @@ class VioManager:
                             uv_c[i, s, cam] = (u, v)
                             mask_c[i, s, cam] = True
 
+        # numpy leaves throughout: jit device-puts the whole bundle in one
+        # batched transfer at dispatch; per-leaf jnp.asarray costs ~2 ms
+        # of host time per frame (measured) for zero benefit
         fb = FrameBundle(
-            imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww), imu_a=jnp.asarray(aa),
-            stamp_time=jnp.asarray(t, jnp.float64),
+            imu_t=tt, imu_w=ww, imu_a=aa,
+            stamp_time=np.float64(t),
             msckf_uv=uv_m, msckf_mask=mask_m,
-            slam_uv=jnp.asarray(uv_s), slam_mask=jnp.asarray(mask_s),
-            cand_uv=jnp.asarray(uv_c), cand_mask=jnp.asarray(mask_c),
-            cand_slots=jnp.asarray(slots_c), cand_ids=jnp.asarray(fids_c),
-            uwb_imu_t=jnp.asarray(u_t), uwb_imu_w=jnp.asarray(u_w),
-            uwb_imu_a=jnp.asarray(u_a), uwb_stamp=jnp.asarray(u_stamp),
-            uwb_ranges=jnp.asarray(u_r), uwb_mask=jnp.asarray(u_m),
-            zupt_try=jnp.asarray(bool(zupt_try)),
-            zupt_imu_t=jnp.asarray(zt), zupt_imu_w=jnp.asarray(zw),
-            zupt_imu_a=jnp.asarray(za),
-            marg_enable=jnp.asarray(bool(marg_enable)),
-            marg_slot=jnp.int32(marg_slot),
+            slam_uv=uv_s, slam_mask=mask_s,
+            cand_uv=uv_c, cand_mask=mask_c,
+            cand_slots=slots_c, cand_ids=fids_c,
+            uwb_imu_t=u_t, uwb_imu_w=u_w,
+            uwb_imu_a=u_a, uwb_stamp=u_stamp,
+            uwb_ranges=u_r, uwb_mask=u_m,
+            zupt_try=np.bool_(zupt_try),
+            zupt_imu_t=zt, zupt_imu_w=zw,
+            zupt_imu_a=za,
+            marg_enable=np.bool_(marg_enable),
+            marg_slot=np.int32(marg_slot),
         )
         t1h = _time.perf_counter()
 
@@ -1064,7 +1067,7 @@ class VioManager:
                     if s is not None:
                         uv[i, s, cam] = (u, v)
                         mask[i, s, cam] = True
-        return jnp.asarray(uv), jnp.asarray(mask)
+        return uv, mask
 
     def _msckf_step(self, t: float):
         feats = self._select_msckf_feats(t)
