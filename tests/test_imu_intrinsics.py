@@ -126,10 +126,14 @@ def test_wrong_intrinsics_hurt_then_calibration_recovers():
                             q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)]
     base = dict(max_clones=11, sigma_pix=sim.params.sigma_pix, cameras=cam_cfg)
 
-    _, errs_wrong = _run(fresh_sim(), VioConfig(**base))
+    # 20 s: under FEJ the calibrated run transiently trades accuracy
+    # while Dw/Da converge (~t=14 s crossover on this trajectory), then
+    # clearly beats the drifting miscalibrated run
+    _, errs_wrong = _run(fresh_sim(), VioConfig(**base), duration=20.0)
     mgr, errs_cal = _run(
         fresh_sim(),
         VioConfig(**base, calib_imu_intrinsics=True, calib_imu_dm_prior=0.03),
+        duration=20.0,
     )
 
     err0_dw = np.linalg.norm(np.asarray(dm_identity(0)) - TRUE_DW)
