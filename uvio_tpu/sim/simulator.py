@@ -330,6 +330,79 @@ class Simulator:
             img[y0:y1, x0:x1] += amp * gy[:, None] * gx[None, :]
         return np.clip(img, 0, 255).astype(np.float32)
 
+    def render_image_hard(
+        self,
+        t: float,
+        cam_idx: int = 0,
+        blob_sigma: float = 1.2,
+        motion_blur: float = 0.012,
+        exposure: bool = True,
+        occlusion: bool = True,
+    ):
+        """Adversarial rendered frame for frontend robustness testing
+        (the committed stand-in for a real-image dataset regression):
+
+        - rotation-consistent far background texture (sampled from a
+          procedural function of the per-pixel viewing DIRECTION, so it
+          moves correctly under rotation and has no translation
+          parallax — distant clutter that tempts the detector),
+        - motion blur: average of renders at t and t +/- motion_blur,
+        - exposure ramp: global gain/bias cycling over time (defeats
+          trackers without histogram equalization, `TrackKLT.cpp:56-67`),
+        - occlusion: a moving dark foreground rectangle with its own
+          bright pseudo-corners (features on it violate epipolar
+          geometry and must die by RANSAC/track loss).
+        """
+        p = self.params
+        cam = p.cameras[cam_idx]
+        H, W = cam.height, cam.width
+        fx, fy, cx, cy = np.asarray(cam.intrinsics[:4])
+        R_ItoC = np.asarray(quat_to_rot(jnp.asarray(cam.q_ItoC)))
+
+        def one(tt):
+            img = self.render_image(tt, cam_idx, blob_sigma)
+            st = bspline.state_at_batch(
+                self.controls, self.t0_traj, self.dt_ctrl, jnp.asarray([tt])
+            )
+            R_GtoC = R_ItoC @ np.asarray(st["R_GtoI"][0])
+            # viewing directions in the GLOBAL frame (pinhole approx —
+            # the background is texture, not geometry)
+            uu, vv = np.meshgrid(
+                (np.arange(W) - cx) / fx, (np.arange(H) - cy) / fy
+            )
+            d = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ R_GtoC  # rows: d^T R = (R^T d)^T
+            n = d / np.linalg.norm(d, axis=-1, keepdims=True)
+            tex = (
+                18.0 * np.sin(9.0 * n[..., 0] + 5.0 * n[..., 2])
+                + 14.0 * np.sin(11.0 * n[..., 1] - 3.0 * n[..., 0])
+                + 10.0 * np.sin(7.0 * (n[..., 0] + n[..., 1] + 1.3 * n[..., 2]))
+            )
+            return img + tex
+
+        if motion_blur > 0:
+            img = (one(t - motion_blur) + one(t) + one(t + motion_blur)) / 3.0
+        else:
+            img = one(t)
+
+        if occlusion:
+            # foreground occluder sweeping horizontally, ~1/5 of the image
+            xc = int(W * (0.5 + 0.38 * np.sin(0.7 * (t - self.t_start))))
+            x0, x1 = max(0, xc - W // 10), min(W, xc + W // 10)
+            y0, y1 = H // 4, H - H // 4
+            img[y0:y1, x0:x1] = 25.0
+            # pseudo-corners on the occluder (move with IT, not the world)
+            rng = np.random.default_rng(99)
+            for (ry, rx) in rng.uniform(0.1, 0.9, (6, 2)):
+                oy = int(y0 + ry * (y1 - y0))
+                ox = int(x0 + rx * (x1 - x0))
+                img[max(0, oy - 1) : oy + 2, max(0, ox - 1) : ox + 2] = 230.0
+
+        if exposure:
+            g = 1.0 + 0.45 * np.sin(0.9 * (t - self.t_start))
+            img = img * g + 12.0 * np.sin(1.3 * (t - self.t_start))
+
+        return np.clip(img, 0, 255).astype(np.float32)
+
     def get_next_uwb(self):
         """Noisy biased ranges to all configured anchors:
         y = (1+alpha) d + gamma + n  (uvio range model)."""
