@@ -30,3 +30,56 @@ def test_fast_score_pallas_threshold():
     assert out[16, 64] > 0
     out_hi = np.asarray(fast_score_pallas(jnp.asarray(img), 250.0, interpret=True))
     assert out_hi[16, 64] == 0
+
+
+def _lk_scene(seed=0, H=120, W=160, N=32, shift=(2, -1)):
+    from scipy.signal import convolve2d
+
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (H // 4 + 4, W // 4 + 4))
+    img1 = np.kron(base, np.ones((4, 4)))[:H, :W]
+    img1 = convolve2d(img1, np.ones((3, 3)) / 9, mode="same")
+    img2 = np.roll(img1, (shift[1], shift[0]), axis=(0, 1))
+    uv = np.stack([rng.uniform(20, W - 20, N), rng.uniform(20, H - 20, N)], 1)
+    return img1, img2, uv
+
+
+def test_lk_level_pallas_matches_xla():
+    """Per-level LK kernel vs the vmapped XLA path: identical ok masks,
+    sub-1e-4-px agreement, true flow recovered."""
+    from uvio_tpu.frontend.klt import lk_level
+    from uvio_tpu.frontend.pallas_kernels import lk_level_pallas
+
+    img1, img2, uv = _lk_scene()
+    valid = np.ones(len(uv), bool)
+    uv1, ok1 = lk_level(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uv),
+        jnp.asarray(uv), jnp.asarray(valid),
+    )
+    uv2, ok2 = lk_level_pallas(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uv),
+        jnp.asarray(uv), jnp.asarray(valid), interpret=True,
+    )
+    uv1, ok1, uv2, ok2 = map(np.asarray, (uv1, ok1, uv2, ok2))
+    assert (ok1 == ok2).all()
+    assert ok2.sum() >= 24
+    assert np.abs(uv1[ok1 & ok2] - uv2[ok1 & ok2]).max() < 1e-4
+    flow = np.median(uv2[ok2] - uv[ok2], axis=0)
+    np.testing.assert_allclose(flow, [2.0, -1.0], atol=0.05)
+
+
+def test_lk_level_pallas_border_and_invalid():
+    """Features near borders fail cleanly; invalid stay invalid."""
+    from uvio_tpu.frontend.pallas_kernels import lk_level_pallas
+
+    img1, img2, uv = _lk_scene()
+    uv[0] = (2.0, 2.0)      # template window out of bounds
+    uv[1] = (157.0, 117.0)  # bottom-right corner
+    valid = np.ones(len(uv), bool)
+    valid[2] = False
+    uv2, ok2 = lk_level_pallas(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uv),
+        jnp.asarray(uv), jnp.asarray(valid), interpret=True,
+    )
+    ok2 = np.asarray(ok2)
+    assert not ok2[0] and not ok2[1] and not ok2[2]

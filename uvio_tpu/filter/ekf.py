@@ -206,7 +206,17 @@ def ekf_update(
     cov = state.cov - K @ PHt.T
     cov = 0.5 * (cov + cov.T)
     new_state = inject(state.replace(cov=cov), layout, dx)
-    diag_ok = jnp.all(jnp.diagonal(cov) > -1e-9)
+    # corrupted-covariance flag (reference exits on a negative diagonal,
+    # `StateHelper.cpp:102-113`). Tolerance is dtype/scale aware: the
+    # f32 MXU path rounds K*PHt' enough that healthy diagonals can dip
+    # a few ulp below zero — real corruption is orders larger (or NaN,
+    # which fails any comparison).
+    diag = jnp.diagonal(cov)
+    tol = jnp.maximum(
+        32.0 * jnp.finfo(cov.dtype).eps * jnp.maximum(jnp.max(diag), 1.0),
+        1e-9,
+    )
+    diag_ok = jnp.all(diag > -tol)
     return new_state, {"dx": dx, "cov_ok": diag_ok}
 
 

@@ -241,7 +241,18 @@ def lk_track(pyr_prev, pyr_next, uv_prev, valid, half=7, iters=10):
     """Full pyramidal LK: coarse-to-fine with scaled guesses.
 
     pyr_*: lists from build_pyramid. uv_prev (N,2) level-0 pixels.
+    On TPU each level dispatches to the Pallas kernel (2 DMAs per
+    feature instead of a bilinear gather per iteration —
+    `pallas_kernels.lk_level_pallas`); elsewhere the vmapped XLA path.
     """
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import lk_level_pallas
+
+        def level_fn(ip, inx, uv_l, guess, v, h, it, min_eig):
+            uvn, ok = lk_level_pallas(ip, inx, uv_l, guess, v, h, it, min_eig)
+            return uvn.astype(uv_prev.dtype), ok
+    else:
+        level_fn = lk_level
     L = len(pyr_prev)
     scale = 2.0 ** (L - 1)
     guess = uv_prev / scale
@@ -249,9 +260,9 @@ def lk_track(pyr_prev, pyr_next, uv_prev, valid, half=7, iters=10):
     for lev in range(L - 1, -1, -1):
         s = 2.0**lev
         uv_l = uv_prev / s
-        guess, ok_l = lk_level(
+        guess, ok_l = level_fn(
             pyr_prev[lev], pyr_next[lev], uv_l, guess, valid, half, iters,
-            min_eig=25.0 if lev == 0 else 0.0,
+            25.0 if lev == 0 else 0.0,
         )
         if lev == 0:
             ok = ok & ok_l

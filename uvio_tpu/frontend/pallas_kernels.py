@@ -114,3 +114,181 @@ def fast_score_pallas(img: jnp.ndarray, thresh: float = 20.0, interpret: bool = 
 def use_pallas_fast(img_shape) -> bool:
     """Whether to take the Pallas path (TPU backend only)."""
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# pyramidal Lucas-Kanade level kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA path (`klt.lk_level`) vmaps a per-feature dynamic-slice patch
+# gather: N features x iters bilinear windows lower to gathers, the
+# weakest op class on TPU (reference hot loop: `cv::calcOpticalFlowPyrLK`,
+# `TrackKLT.cpp:858`). Kernel strategy: per feature, DMA ONE template
+# slab from img_prev and ONE search slab (patch + margin) from img_next
+# into VMEM, then run all LK iterations against the in-VMEM search slab
+# with dynamic sublane/lane offsets — 2 DMAs per feature total instead
+# of a gather per iteration.
+
+_LK_MARGIN = 6  # search-slab half-margin (px) the iterations may roam
+
+
+def _lk_kernel(
+    uv_ref, guess_ref, valid_ref, imgp_hbm, imgn_hbm,
+    out_uv, out_ok, tslab, nslab, sem, sem2,
+    *, N, half, iters, min_eig, H, W,
+):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = 2 * half + 1     # patch size
+    P2 = P + 1           # +1 row/col for bilinear blending
+    M = _LK_MARGIN
+    S = P2 + 2 * M       # search slab side
+
+    def bilinear(slab, oy, ox, fy, fx, size):
+        # (size+1, size+1) corner block at integer offset (oy, ox)
+        blk = slab[pl.ds(oy, size + 1), pl.ds(ox, size + 1)]
+        top = blk[:-1, :-1] * (1.0 - fx) + blk[:-1, 1:] * fx
+        bot = blk[1:, :-1] * (1.0 - fx) + blk[1:, 1:] * fx
+        return top * (1.0 - fy) + bot * fy
+
+    def body(i, carry):
+        px = uv_ref[i, 0]
+        py = uv_ref[i, 1]
+        gx0 = guess_ref[i, 0]
+        gy0 = guess_ref[i, 1]
+
+        # ---- template slab from img_prev ----
+        tx0 = jnp.floor(px).astype(jnp.int32) - half
+        ty0 = jnp.floor(py).astype(jnp.int32) - half
+        tin = (tx0 >= 0) & (ty0 >= 0) & (tx0 + P2 < W) & (ty0 + P2 < H)
+        tx0c = jnp.clip(tx0, 0, W - P2 - 1)
+        ty0c = jnp.clip(ty0, 0, H - P2 - 1)
+        cp = pltpu.make_async_copy(
+            imgp_hbm.at[pl.ds(ty0c, P2), pl.ds(tx0c, P2)], tslab, sem
+        )
+        cp.start()
+
+        # ---- search slab from img_next around the guess ----
+        sx0 = jnp.floor(gx0).astype(jnp.int32) - half - M
+        sy0 = jnp.floor(gy0).astype(jnp.int32) - half - M
+        sx0c = jnp.clip(sx0, 0, W - S - 1)
+        sy0c = jnp.clip(sy0, 0, H - S - 1)
+        cp2 = pltpu.make_async_copy(
+            imgn_hbm.at[pl.ds(sy0c, S + 1), pl.ds(sx0c, S + 1)], nslab, sem2
+        )
+        cp2.start()
+        cp.wait()
+
+        fx = px - jnp.floor(px)
+        fy = py - jnp.floor(py)
+        tmpl = bilinear(tslab, 0, 0, fy, fx, P)
+        gxg = 0.5 * (
+            pltpu.roll(tmpl, shift=P - 1, axis=1) - pltpu.roll(tmpl, shift=1, axis=1)
+        )
+        gyg = 0.5 * (
+            pltpu.roll(tmpl, shift=P - 1, axis=0) - pltpu.roll(tmpl, shift=1, axis=0)
+        )
+        edge_r = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+        edge_c = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+        gxg = jnp.where((edge_c == 0) | (edge_c == P - 1), 0.0, gxg)
+        gyg = jnp.where((edge_r == 0) | (edge_r == P - 1), 0.0, gyg)
+        Gxx = jnp.sum(gxg * gxg)
+        Gxy = jnp.sum(gxg * gyg)
+        Gyy = jnp.sum(gyg * gyg)
+        det = Gxx * Gyy - Gxy * Gxy
+        eig = 0.5 * (Gxx + Gyy - jnp.sqrt((Gxx - Gyy) ** 2 + 4.0 * Gxy * Gxy))
+        good = det > 1e-6
+
+        cp2.wait()
+
+        def it(_, st):
+            qx, qy, okc = st
+            # integer offset of the iteration window inside the slab
+            ox = jnp.floor(qx).astype(jnp.int32) - half - sx0c
+            oy = jnp.floor(qy).astype(jnp.int32) - half - sy0c
+            okp = (ox >= 0) & (oy >= 0) & (ox + P2 <= S) & (oy + P2 <= S)
+            oxc = jnp.clip(ox, 0, S - P2)
+            oyc = jnp.clip(oy, 0, S - P2)
+            cur = bilinear(
+                nslab, oyc, oxc, qy - jnp.floor(qy), qx - jnp.floor(qx), P
+            )
+            err = cur - tmpl
+            bx = jnp.sum(gxg * err)
+            by = jnp.sum(gyg * err)
+            safe_det = jnp.where(good, det, 1.0)
+            dx = (Gyy * bx - Gxy * by) / safe_det
+            dy = (Gxx * by - Gxy * bx) / safe_det
+            step_ok = good & okp
+            qx = jnp.where(step_ok, qx - dx, qx)
+            qy = jnp.where(step_ok, qy - dy, qy)
+            return qx, qy, okc & okp
+
+        qx, qy, ok_iter = jax.lax.fori_loop(0, iters, it, (gx0, gy0, tin))
+        ok = (valid_ref[i] != 0) & tin & ok_iter & good & (eig >= min_eig)
+        out_uv[i, 0] = qx
+        out_uv[i, 1] = qy
+        out_ok[i] = ok.astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, N, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("half", "iters", "min_eig", "interpret")
+)
+def lk_level_pallas(
+    img_prev, img_next, uv_prev, uv_guess, valid,
+    half: int = 7, iters: int = 10, min_eig: float = 25.0,
+    interpret: bool = False,
+):
+    """Pallas LK level. Same contract as `klt.lk_level` EXCEPT iteration
+    windows are confined to a (patch + 2*{margin}) search slab around the
+    initial guess — displacements beyond the margin per level mark the
+    track failed (the coarse-to-fine pyramid keeps per-level motion
+    small, so real tracks stay inside).
+    """.format(margin=_LK_MARGIN)
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = img_prev.shape
+    N = uv_prev.shape[0]
+    P2 = 2 * half + 2
+    S = P2 + 2 * _LK_MARGIN
+
+    kern = functools.partial(
+        _lk_kernel, N=N, half=half, iters=iters, min_eig=float(min_eig),
+        H=H, W=W,
+    )
+    out_uv, out_ok = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 2), jnp.float32),
+            jax.ShapeDtypeStruct((N,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((P2, P2), jnp.float32),
+            pltpu.VMEM((S + 1, S + 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        uv_prev.astype(jnp.float32),
+        uv_guess.astype(jnp.float32),
+        valid.astype(jnp.int32),
+        img_prev.astype(jnp.float32),
+        img_next.astype(jnp.float32),
+    )
+    return out_uv, out_ok != 0
