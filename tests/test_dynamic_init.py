@@ -234,3 +234,121 @@ def test_dynamic_init_end_to_end():
         method="posyaw",
     )
     assert res["rmse_pos"] < 0.25, res["rmse_pos"]
+
+
+def test_cpi_v1_closed_form_matches_groundtruth():
+    """CpiV1 closed forms (`cpi/CpiV1.cpp`) against the same sim
+    groundtruth checks as the midpoint scheme — and tighter on COARSE
+    intervals, where the closed form is exact under piecewise-constant
+    w/a while midpoint truncates."""
+    from uvio_tpu.init.cpi import preintegrate_v1
+
+    sim = Simulator(SimParams(seed=5), trajectory=circle_trajectory(duration=14.0))
+    (imu_t, imu_w, imu_a), _, _, gt = make_window(sim, n_pose=2, cam_dt=0.5)
+    out = preintegrate_v1(
+        jnp.asarray(imu_t[0]), jnp.asarray(imu_w[0]), jnp.asarray(imu_a[0]),
+        jnp.zeros(3), jnp.zeros(3),
+    )
+    expect = gt["R_GtoIP"] @ gt["R_GtoI0"].T
+    np.testing.assert_allclose(np.asarray(out["R_k2tau"]), expect, atol=2e-4)
+    dt = float(out["dt"])
+    g_G = np.array([0, 0, G])
+    beta_G = gt["R_GtoI0"].T @ np.asarray(out["beta"])
+    vP_pred = gt["v0_G"] - g_G * dt + beta_G
+    np.testing.assert_allclose(vP_pred, gt["vP_G"], atol=2e-3)
+
+    # coarse-interval exactness: constant w/a, ONE 0.5 s interval vs a
+    # finely-subdivided midpoint integration of the same signal
+    from uvio_tpu.init.cpi import preintegrate
+
+    w = np.array([0.9, -0.4, 1.3])
+    a = np.array([0.6, 0.2, -0.8])
+    T = 0.5
+    coarse_t = jnp.asarray([0.0, T])
+    tile = lambda v, n: jnp.asarray(np.tile(v, (n, 1)))
+    fine_t = jnp.asarray(np.linspace(0.0, T, 2001))
+    ref = preintegrate(fine_t, tile(w, 2001), tile(a, 2001), jnp.zeros(3), jnp.zeros(3))
+    v1 = preintegrate_v1(coarse_t, tile(w, 2), tile(a, 2), jnp.zeros(3), jnp.zeros(3))
+    mid = preintegrate(coarse_t, tile(w, 2), tile(a, 2), jnp.zeros(3), jnp.zeros(3))
+    err_v1 = np.linalg.norm(np.asarray(v1["alpha"]) - np.asarray(ref["alpha"]))
+    err_mid = np.linalg.norm(np.asarray(mid["alpha"]) - np.asarray(ref["alpha"]))
+    assert err_v1 < 1e-6, err_v1          # closed form: exact
+    assert err_mid > 10 * err_v1, err_mid  # midpoint: truncation error
+
+
+def test_cpi_v2_gravity_in_integral():
+    """CpiV2 (`cpi/CpiV2.cpp`): gravity folded into alpha/beta, so
+    shooting without explicit g terms reproduces the V1 shooting."""
+    from uvio_tpu.init.cpi import preintegrate_v1, preintegrate_v2
+
+    rng = np.random.default_rng(2)
+    n = 101
+    T = 0.5
+    t = jnp.asarray(np.linspace(0.0, T, n))
+    w = jnp.asarray(0.4 * rng.standard_normal(3) + np.zeros((n, 3)))
+    a = jnp.asarray(np.array([0.3, -0.2, 9.9]) + 0.1 * rng.standard_normal((n, 3)))
+    from scipy.spatial.transform import Rotation as Rsp
+
+    R_GtoI0 = Rsp.from_euler("xyz", [8, -4, 30], degrees=True).as_matrix()
+    g = jnp.asarray([0.0, 0.0, G])
+    v1 = preintegrate_v1(t, w, a, jnp.zeros(3), jnp.zeros(3))
+    v2 = preintegrate_v2(t, w, a, jnp.zeros(3), jnp.zeros(3), jnp.asarray(R_GtoI0), g)
+    # same relative rotation
+    np.testing.assert_allclose(
+        np.asarray(v1["R_k2tau"]), np.asarray(v2["R_k2tau"]), atol=1e-12
+    )
+    # p via V1: p0 + v0 T - 0.5 g T^2 + R0^T alpha1 (global frame)
+    # p via V2: p0 + v0 T + R0^T alpha2
+    dT = float(v1["dt"])
+    lhs = -0.5 * np.asarray(g) * dT * dT + R_GtoI0.T @ np.asarray(v1["alpha"])
+    rhs = R_GtoI0.T @ np.asarray(v2["alpha"])
+    np.testing.assert_allclose(lhs, rhs, atol=2e-5)
+    lhs_v = -np.asarray(g) * dT + R_GtoI0.T @ np.asarray(v1["beta"])
+    rhs_v = R_GtoI0.T @ np.asarray(v2["beta"])
+    np.testing.assert_allclose(lhs_v, rhs_v, atol=2e-5)
+
+
+def test_cpi_v1_autodiff_bias_jacobians():
+    """jacfwd through the closed form == finite differences (replaces
+    the reference's ~200 lines of hand-derived J_q/J_a/J_b/H_a/H_b)."""
+    import jax
+
+    from uvio_tpu.init.cpi import preintegrate_v1
+
+    rng = np.random.default_rng(3)
+    n = 21
+    t = jnp.asarray(np.linspace(0.0, 0.1, n))
+    w = jnp.asarray(0.5 * rng.standard_normal((n, 3)))
+    a = jnp.asarray(np.array([0, 0, 9.81]) + rng.standard_normal((n, 3)))
+
+    def f(bg, ba):
+        out = preintegrate_v1(t, w, a, bg, ba)
+        return jnp.concatenate([out["alpha"], out["beta"]])
+
+    J_bg = np.asarray(jax.jacfwd(f, argnums=0)(jnp.zeros(3), jnp.zeros(3)))
+    J_ba = np.asarray(jax.jacfwd(f, argnums=1)(jnp.zeros(3), jnp.zeros(3)))
+    eps = 1e-6
+    for k in range(3):
+        e = np.zeros(3); e[k] = eps
+        fd_bg = (np.asarray(f(jnp.asarray(e), jnp.zeros(3))) - np.asarray(f(jnp.zeros(3), jnp.zeros(3)))) / eps
+        fd_ba = (np.asarray(f(jnp.zeros(3), jnp.asarray(e))) - np.asarray(f(jnp.zeros(3), jnp.zeros(3)))) / eps
+        np.testing.assert_allclose(J_bg[:, k], fd_bg, atol=1e-4)
+        np.testing.assert_allclose(J_ba[:, k], fd_ba, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_dynamic_init_with_cpi_v1():
+    """The full MLE solves with the closed-form model selected."""
+    sim = Simulator(SimParams(seed=5), trajectory=circle_trajectory(duration=14.0))
+    (imu_t, imu_w, imu_a), (obs, mask), (R_ItoC, p_IinC), gt = make_window(sim)
+    opts = DynamicInitOptions(cpi_model="cpi_v1")
+    out = solve_dynamic_init(
+        jnp.asarray(imu_t), jnp.asarray(imu_w), jnp.asarray(imu_a),
+        jnp.asarray(obs), jnp.asarray(mask),
+        jnp.asarray(R_ItoC), jnp.asarray(p_IinC), opts,
+    )
+    assert float(out["rmse_norm"]) < opts.max_reproj_rmse
+    g_I0 = np.asarray(out["params"]["g"])
+    g_true = gt["R_GtoI0"] @ np.array([0, 0, G])
+    cos = g_I0 @ g_true / (np.linalg.norm(g_I0) * np.linalg.norm(g_true))
+    assert cos > 0.9999, cos

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..math import rot_to_quat, skew
-from .cpi import preintegrate
+from .cpi import preintegrate, preintegrate_v1
 from .static_init import StaticInitResult, gravity_aligned_quat
 
 
@@ -62,6 +62,9 @@ class DynamicInitOptions:
     # the reference itself ships it default-off and warns it is unstable;
     # calibration states refine online in the filter instead
     mle_opt_calib: bool = False
+    # preintegration model: "midpoint" (autodiff midpoint scheme) or
+    # "cpi_v1" (the reference's closed-form CpiV1, `cpi/CpiV1.cpp`)
+    cpi_model: str = "midpoint" 
 
 
 def _shoot_poses(cpis, v0, g):
@@ -101,7 +104,8 @@ def _reproj_residuals(params, cpi_inputs, obs_uvn, obs_mask, R_ItoC, p_IinC, opt
     obs_uvn (F,P,2) normalized obs; obs_mask (F,P).
     """
     imu_t, imu_w, imu_a = cpi_inputs
-    cpis = jax.vmap(lambda t, w, a: preintegrate(t, w, a, params["bg"], params["ba"]))(
+    pre = preintegrate_v1 if opts.cpi_model == "cpi_v1" else preintegrate
+    cpis = jax.vmap(lambda t, w, a: pre(t, w, a, params["bg"], params["ba"]))(
         imu_t, imu_w, imu_a
     )
     R0p, p0p, _ = _shoot_poses(cpis, params["v0"], params["g"])
