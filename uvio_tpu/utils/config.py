@@ -231,6 +231,9 @@ def load_config(config_path: str):
             window_time=float(cfg.get("init_window_time", 2.0)),
             imu_thresh=float(cfg.get("init_imu_thresh", 1.5)),
             gravity_mag=float(cfg.get("gravity_mag", 9.81)),
+            # extension knob (no reference yaml equivalent): false =
+            # initialize during stillness instead of at motion onset
+            wait_for_jerk=bool(cfg.get("init_wait_for_jerk", True)),
         ),
         init_max_disparity=float(cfg.get("init_max_disparity", 10.0)),
         use_dynamic_init=bool(cfg.get("init_dyn_use", False)),
