@@ -205,3 +205,18 @@ def test_get_active_tracks():
     errs = [np.linalg.norm(pts[i] - sim.map_pts[int(ids[i])]) for i in range(len(ids))
             if int(ids[i]) < len(sim.map_pts)]
     assert np.median(errs) < 0.6, np.median(errs)  # viz-grade accuracy incl. drift
+
+
+def test_matmul_precision_contract():
+    """The EKF covariance algebra requires exact-f32 matmuls. On TPU the
+    JAX default is one-pass bf16 on the MXU, which corrupts P within
+    ~1.5 s of filtering (measured on-chip: negative covariance diagonal,
+    round-3). uvio_tpu/__init__.py pins the global default to 'highest';
+    this guards the pin (the failure itself is only reproducible on real
+    TPU hardware, which CI does not have)."""
+    import jax
+
+    import uvio_tpu  # noqa: F401
+
+    assert jax.config.jax_default_matmul_precision == "highest"
+    assert jax.config.jax_enable_x64 is True

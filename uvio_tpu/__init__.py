@@ -26,6 +26,13 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls default to one-pass bf16 on the MXU — fatal for the
+# EKF covariance algebra (P Hᵀ, Cholesky downdates lose ~16 mantissa bits;
+# measured: negative covariance diagonal within ~1.5 s of simulation on a
+# real chip, while CPU f32 is exact). Force full-f32 matmuls globally; the
+# image-plane Pallas kernels opt into lower precision explicitly.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # XLA compiles are expensive on small hosts; persist them across runs.
 _cache_dir = os.environ.get(
     "UVIO_TPU_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
