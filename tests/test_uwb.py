@@ -136,6 +136,11 @@ def test_uvio_manager_drain():
         mgr.feed_imu(t, np.zeros(3), np.array([0, 0, 9.81]))
     # true range from p=0: |p_A| (lever arm zero)
     d10 = np.linalg.norm(anchors[0].p_AinG)
+    # traveled-distance gate (UVioManager.cpp:64-67): ranges arriving
+    # before the platform has moved past min_dist_to_use_uwb are dropped
+    mgr.feed_uwb(0.04, {10: d10})
+    assert len(mgr.uwb_buffer) == 0
+    mgr.distance = 0.01  # pretend we've moved
     mgr.feed_uwb(0.05, {10: d10 + 0.01, 99: 5.0})  # unknown anchor dropped
     assert len(mgr.uwb_buffer) == 1
     assert 99 not in mgr.uwb_buffer[0][1]

@@ -241,6 +241,11 @@ class VioManager:
         self._head = -1
         self.last_timing = None
         self._timing_file = None
+        # traveled distance since initialization, accumulated per visual
+        # update (`VioManager.cpp:646-650`); gates UWB ingestion
+        # (UVioManager.cpp:64-67 `distance > min_dist_to_use_uwb`)
+        self.distance = 0.0
+        self._last_update_p: Optional[np.ndarray] = None
         # camera-IMU time offset applied at the last propagation
         # (`Propagator::last_prop_time_offset`, Propagator.cpp:54-64):
         # IMU windows are [t_state + dt_last, t_meas + dt_now] so a
@@ -711,6 +716,15 @@ class VioManager:
                 f"{row['total']:.6f}\n"
             )
         self._last_frame_t = t
+        self._track_distance()
+
+    def _track_distance(self):
+        """Accumulate traveled distance after a completed visual update
+        (`VioManager.cpp:646-650`)."""
+        p = np.asarray(self.state.p)
+        if self._last_update_p is not None:
+            self.distance += float(np.linalg.norm(p - self._last_update_p))
+        self._last_update_p = p
 
     # ------------------------------------------------------------------
     def _frame_fused(self, t: float):
@@ -941,6 +955,7 @@ class VioManager:
         t3h = _time.perf_counter()
         self._record_fused_timing(t, t1h - t0h, t2h - t1h, t3h - t2h)
         self._last_frame_t = t
+        self._track_distance()
 
     def _record_fused_timing(self, t, build_s, device_s, post_s):
         """Fused-mode per-frame timing. The staged CSV columns map to:

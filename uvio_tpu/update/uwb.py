@@ -47,13 +47,25 @@ def predicted_range(state: FilterState, anchor_idx):
 
 
 def _range_jacobian(state: FilterState, layout: StateLayout, anchor_idx):
-    """H (1,D) for the range of one anchor, FEJ on the IMU pose."""
+    """H (1,D) for the range of one anchor.
+
+    Linearized at the CURRENT pose like the reference
+    (`UVioUpdaterHelper.cpp:188-231` uses `clone_I->Rot()/pos()`, no
+    FEJ): consecutive single-range updates re-linearize at the already-
+    corrected pose.
+
+    Reference deviation (kept deliberately): the reference's anchor-
+    position Jacobian carries a spurious `R_GtoI^T` factor
+    (`UVioUpdaterHelper.cpp:238` `H_z_anc = (1+α) H_n R^T` — the anchor
+    state p_AinG lives in the global frame, so d‖p_A−p_U‖/dp_A is the
+    bare unit vector). We use the analytically correct `(1+α) u^T`
+    (validated against autodiff in tests/test_uwb.py).
+    """
     L = layout
     D = L.dim
     dtype = state.cov.dtype
-    # FEJ linearization for pose, current values for anchor/calib
-    R = quat_to_rot(state.q_fej)
-    p_U = state.p_fej - R.T @ state.uwb_p_IinU
+    R = quat_to_rot(state.q)
+    p_U = state.p - R.T @ state.uwb_p_IinU
     p_A = state.anchors_p[anchor_idx]
     alpha = state.anchors_alpha[anchor_idx]
     diff = p_A - p_U

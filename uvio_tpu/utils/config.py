@@ -253,8 +253,10 @@ def load_config(config_path: str):
         "max_slam_in_update": int(cfg.get("max_slam_in_update", 25)),
     }
 
+    # the reference's estimator_config key is `config_uwb`
+    # (UVioManagerOptions.h parse_external("config_uwb", ...))
     uwb_path = os.path.join(
-        base, cfg.get("relative_config_uwb", "uwb_config.yaml")
+        base, cfg.get("config_uwb", cfg.get("relative_config_uwb", "uwb_config.yaml"))
     )
     if os.path.exists(uwb_path):
         uwb = _load_yaml(uwb_path)
@@ -262,6 +264,9 @@ def load_config(config_path: str):
         init = uwb.get("init", {})
         anchors = []
         n_known = int(init.get("n_known_anchors", 0))
+        # known anchors are expressed relative to the UAV's initial
+        # position (UVioManagerOptions.h: p_AinG = pos - p_IinG0)
+        p_IinG0 = np.asarray(tag.get("p_IinG0", [0.0, 0.0, 0.0]), float)
         anchors_path = os.path.join(base, "uwb_anchors.yaml")
         if n_known > 0 and os.path.exists(anchors_path):
             adata = _load_yaml(anchors_path)
@@ -271,7 +276,7 @@ def load_config(config_path: str):
                 anchors.append(
                     AnchorConfig(
                         anchor_id=int(a["id"]),
-                        p_AinG=np.asarray(a["p_AinG"], float),
+                        p_AinG=np.asarray(a["p_AinG"], float) - p_IinG0,
                         gamma=float(a.get("const_bias", 0.0)),
                         alpha=float(a.get("dist_bias", 0.0)),
                         fix=bool(a.get("fix", False)),

@@ -185,8 +185,16 @@ class UVioManager(VioManager):
 
     # ------------------------------------------------------------------
     def feed_uwb(self, t: float, ranges: Dict[int, float]):
-        """Buffer a range set (feed_measurement_uwb gates)."""
-        if not (self.is_initialized and self.anchors_initialized):
+        """Buffer a range set (feed_measurement_uwb gates: VIO
+        initialized AND anchors initialized AND *traveled distance*
+        above threshold — `UVioManager.cpp:64-67`; min_dist_to_use_uwb
+        gates the vehicle's accumulated path length, not the range
+        magnitude)."""
+        if not (
+            self.is_initialized
+            and self.anchors_initialized
+            and self.distance > self.ucfg.min_dist_to_use_uwb
+        ):
             return
         if t <= self._last_uwb_t:
             # out-of-order: warn + drop (`UVioManager.cpp:70-73`)
@@ -195,9 +203,7 @@ class UVioManager(VioManager):
             print_warning("uwb range at t=%.6f is out of order: dropped", t)
             return
         good = {
-            aid: d
-            for aid, d in ranges.items()
-            if d > self.ucfg.min_dist_to_use_uwb and aid in self.anchor_slot_by_id
+            aid: d for aid, d in ranges.items() if aid in self.anchor_slot_by_id
         }
         if good:
             self.uwb_buffer.append((t, good))
