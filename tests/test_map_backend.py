@@ -71,7 +71,7 @@ def test_map_backend_e2e_refines_map():
         mesh=mesh,
     )
 
-    gt_cam_p = []
+    gt_cam_p = {}
     while sim.ok():
         r = sim.get_next_imu()
         if r is None:
@@ -84,13 +84,12 @@ def test_map_backend_e2e_refines_map():
                 break
             tc, obs = rc
             mgr.feed_features(tc, obs)
-            n0 = backend.num_keyframes
-            if backend.ingest(mgr) and backend.num_keyframes > n0:
+            if backend.ingest(mgr):
                 g = sim.get_gt_state(tc)
                 R_GtoI = np.asarray(quat_to_rot(jnp.asarray(g["q_GtoI"])))
                 R_ItoC = np.asarray(quat_to_rot(jnp.asarray(cam.q_ItoC)))
                 p_CinG = g["p_IinG"] - R_GtoI.T @ (R_ItoC.T @ cam.p_IinC)
-                gt_cam_p.append(p_CinG)
+                gt_cam_p[tc] = p_CinG
 
     assert backend.num_keyframes >= 20
     res = backend.refine()
@@ -98,8 +97,10 @@ def test_map_backend_e2e_refines_map():
     costs = res["costs"]
     assert costs[-1] <= costs[0]
 
-    # keyframe positions close to groundtruth camera centers
-    kf_err = np.linalg.norm(res["kf_p"] - np.asarray(gt_cam_p), axis=1)
+    # keyframe positions close to groundtruth camera centers (keyed by
+    # timestamp: eviction may have dropped some ingested keyframes)
+    gt_p = np.asarray([gt_cam_p[t] for t in res["kf_t"]])
+    kf_err = np.linalg.norm(res["kf_p"] - gt_p, axis=1)
     assert np.median(kf_err) < 0.05, (np.median(kf_err), kf_err.max())
 
     # refined landmarks close to the gt map (ids are map indices)
@@ -109,3 +110,35 @@ def test_map_backend_e2e_refines_map():
         [np.linalg.norm(p - sim.map_pts[fid]) for fid, p in pts.items()]
     )
     assert np.median(errs) < 0.05, (np.median(errs), errs.max())
+
+
+def test_map_backend_eviction():
+    """Past max_keyframes, ingest evicts by temporal decimation: the
+    span endpoints survive, capacity holds, indices stay consistent."""
+    be = MapBackend(MapBackendOptions(max_keyframes=8, every_n_frames=1))
+    # populate directly (bypassing ingest's manager plumbing)
+    for i in range(8):
+        be.kf_t.append(float(i))
+        be.kf_q.append(np.array([0.0, 0, 0, 1]))
+        be.kf_p.append(np.array([float(i), 0, 0]))
+    # a landmark observed in every keyframe + one only in kf 2
+    be.obs[100] = {k: np.array([0.1, 0.1]) for k in range(8)}
+    be.obs[200] = {2: np.array([0.2, 0.2])}
+
+    t_first, t_last = be.kf_t[0], be.kf_t[-1]
+    be._evict()
+    assert be.num_keyframes == 7
+    assert be.kf_t[0] == t_first and be.kf_t[-1] == t_last
+    # the dense landmark lost exactly one obs; indices remap contiguously
+    assert len(be.obs[100]) == 7
+    assert sorted(be.obs[100]) == list(range(7))
+    # obs uv follow their keyframe: kf at time t has obs index == position
+    for k in range(7):
+        assert be.kf_t[k] == float(be.kf_t[k])
+    # evict until the single-obs landmark's keyframe dies -> landmark dies
+    for _ in range(5):
+        be._evict()
+    assert be.num_keyframes == 2
+    assert 200 not in be.obs or len(be.obs[200]) > 0
+    # the survivor still spans the full time range
+    assert be.kf_t[0] == t_first and be.kf_t[-1] == t_last

@@ -33,7 +33,16 @@ def test_hard_rendered_images_to_filter_ate():
         max_msckf_in_update=40,
         sigma_pix=2.0,  # rendered-tracker pixel noise, not the sim's 1.0
         use_static_init=True,
-        # the ramp-in is smooth (no jerk spike), so init on stillness
+        # no-jerk (stillness) init REQUIRES the ZUPT to hold the filter
+        # through the remaining still phase — the reference only allows
+        # wait_for_jerk=false when UpdaterZeroVelocity exists
+        # (VioManagerHelper.cpp:104-106); without it the filter
+        # dead-reckons through stillness (zero-baseline => no visual
+        # updates) and drifts. zupt_max_disparity=0 = imu-only gating
+        # (the rendered tracker's ~2 px noise defeats the 0.5 px
+        # disparity stillness check).
+        try_zupt=True,
+        zupt_max_disparity=0.0,
         init_options=StaticInitOptions(wait_for_jerk=False),
         cameras=[CameraConfig(model=cam.model, intrinsics=cam.intrinsics,
                               q_ItoC=cam.q_ItoC, p_IinC=cam.p_IinC)],
@@ -78,7 +87,8 @@ def test_hard_rendered_images_to_filter_ate():
         np.asarray(est["t"]), np.asarray(gt["q"]), np.asarray(gt["p"]),
         method="posyaw",
     )
-    # raw adversarial images end-to-end (measured 0.11 m / 1.35 deg;
-    # gate at ~2x to absorb platform jitter)
-    assert res["rmse_pos"] < 0.25, res
+    # raw adversarial images end-to-end (measured 0.043 m / 0.94 deg
+    # with the ZUPT holding the still phase; gate at ~2-3x to absorb
+    # platform jitter)
+    assert res["rmse_pos"] < 0.15, res
     assert res["rmse_ori_deg"] < 2.5, res

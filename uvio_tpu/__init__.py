@@ -29,8 +29,13 @@ jax.config.update("jax_enable_x64", True)
 # On TPU, f32 matmuls default to one-pass bf16 on the MXU — fatal for the
 # EKF covariance algebra (P Hᵀ, Cholesky downdates lose ~16 mantissa bits;
 # measured: negative covariance diagonal within ~1.5 s of simulation on a
-# real chip, while CPU f32 is exact). Force full-f32 matmuls globally; the
-# image-plane Pallas kernels opt into lower precision explicitly.
+# real chip, while CPU f32 is exact). Force full-f32 matmuls globally.
+# The image-plane frontend kernels contain no matmuls (FAST/LK are
+# elementwise + small stencils), so this pin costs them nothing.
+#
+# NOTE: like jax_enable_x64 above, this mutates process-global jax config
+# at import time — any other JAX code in the same process inherits both
+# (documented in README "Numerics").
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # XLA compiles are expensive on small hosts; persist them across runs.

@@ -62,9 +62,13 @@ def try_static_init(
     """Attempt initialization from the IMU buffer; None if not ready."""
     if len(imu_t) < 10:
         return None
+    # the reference splits ONE init window into two halves
+    # (StaticInitializer.cpp:78-92: window_2to1 = [t-w, t-w/2],
+    # window_1to0 = [t-w/2, t]), so init needs `window_time` of data,
+    # not 2x — this halves the init latency
     t_new = imu_t[-1]
-    t_mid = t_new - opts.window_time
-    t_old = t_new - 2.0 * opts.window_time
+    t_mid = t_new - 0.5 * opts.window_time
+    t_old = t_new - opts.window_time
     if imu_t[0] > t_old:
         return None  # buffer too short
     sel1 = (imu_t >= t_old) & (imu_t < t_mid)  # older window
@@ -87,19 +91,21 @@ def try_static_init(
     R_GtoI = np.asarray(quat_to_rot(jnp.asarray(q)))
     gravity = np.array([0.0, 0.0, opts.gravity_mag])
     ba = a_avg - R_GtoI @ gravity
+    # the reference's fixed startup covariance
+    # (StaticInitializer.cpp:146-151: q 0.02, p 0.05, v 0.01, biases
+    # 0.02 — yaw/position left soft, not gauge-pinned)
     prior_std = np.concatenate(
         [
-            np.full(2, 0.02),  # roll/pitch
-            np.full(1, 1e-4),  # yaw (unobservable -> pinned)
-            np.full(3, 1e-5),  # p (origin by definition)
-            np.full(3, 0.05),  # v
-            np.full(3, 0.01),  # bg
-            np.full(3, 0.10),  # ba
+            np.full(3, 0.02),  # q (incl. yaw)
+            np.full(3, 0.05),  # p
+            np.full(3, 0.01),  # v
+            np.full(3, 0.02),  # bg
+            np.full(3, 0.02),  # ba
         ]
     )
-    # initialize at the *start of the jerk* (end of still window) like
-    # the reference (uses the oldest reading time of window 2)
-    t0 = float(imu_t[sel2][0]) if opts.wait_for_jerk else float(t_new)
+    # initialize at the end of the STILL window in both modes like the
+    # reference (timestamp = window_2to1.back(), StaticInitializer.cpp:135)
+    t0 = float(imu_t[sel2][0])
     return StaticInitResult(
         time=t0,
         q_GtoI=q,

@@ -400,8 +400,21 @@ class VioManager:
         self.initialize_with_gt(
             res.time, res.q_GtoI, res.p, res.v, res.bg, res.ba, prior_std=res.prior_std
         )
-        # tracks collected before init reference pre-init clones: drop them
+        # tracks older than the init stamp reference pre-init poses: drop
         self.db.cleanup_older_than(res.time + 1e-9)
+        # the init stamp is the end of the STILL window, up to window/2 in
+        # the past — fast-forward by propagate+clone through the already-
+        # seen frame times like the reference's init thread
+        # (`VioManagerHelper.cpp:151-160` clone_rate decimation), keeping
+        # every IMU window short enough for the static batch limit
+        frame_times = sorted(
+            {tt for f in self.db.features.values() for tt in f.times() if tt > res.time}
+        )
+        if frame_times:
+            rate = len(frame_times) // self.cfg.max_clones + 1
+            for ft in frame_times[::rate]:
+                self._propagate_clone(ft)
+                self._marginalize(ft)
         return True
 
     def _try_dynamic_init(self, t: float) -> bool:
@@ -584,10 +597,17 @@ class VioManager:
                     max_velocity=self.cfg.zupt_max_velocity,
                 )
             )
-        new_state, accepted, _ = self._jit_zupt(
+        new_state, accepted, gamma = self._jit_zupt(
             self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
             imu_a=jnp.asarray(aa), stamp_time=jnp.asarray(t, jnp.float64),
         )
+        # observability: the reference prints the zupt chi2 each attempt
+        # (`UpdaterZeroVelocity.cpp` PRINT_DEBUG)
+        self.last_zupt_info = {
+            "accepted": bool(accepted),
+            "gamma": float(gamma),
+            "n_imu": int((np.asarray(tt) > np.asarray(tt)[0]).sum()) + 1,
+        }
         if bool(accepted):
             self.state = new_state
             self._last_prop_dt = dt_now

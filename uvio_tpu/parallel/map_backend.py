@@ -74,11 +74,11 @@ class MapBackend:
         self._frame_count += 1
         if (self._frame_count - 1) % self.opts.every_n_frames:
             return False
-        if len(self.kf_t) >= self.opts.max_keyframes:
-            return False
         slot = next((s for s, tt in mgr.slot_times.items() if tt == t), None)
         if slot is None:
             return False
+        if len(self.kf_t) >= self.opts.max_keyframes:
+            self._evict()
 
         from ..cam import models as cam_models
         from ..update.msckf import clone_camera_poses
@@ -111,6 +111,39 @@ class MapBackend:
         return True
 
     # ------------------------------------------------------------------
+    def _evict(self):
+        """Make room for a new keyframe: temporal decimation.
+
+        Victim = the keyframe (excluding the first and the newest few)
+        whose neighbors are closest in time — removing it loses the
+        least temporal coverage, so the map keeps its full span while
+        the oldest region thins out (geometric keyframe pyramid). Its
+        observations are dropped and the remaining keyframes reindexed;
+        landmarks left with zero observations are deleted.
+        """
+        N = len(self.kf_t)
+        if N < 3:
+            return
+        # keep the map anchor (index 0) and the freshest 25% intact
+        hi = max(2, int(N * 0.75))
+        gaps = [
+            (self.kf_t[i + 1] - self.kf_t[i - 1], i) for i in range(1, hi)
+        ]
+        _, victim = min(gaps)
+        self.kf_t.pop(victim)
+        self.kf_q.pop(victim)
+        self.kf_p.pop(victim)
+        dead = []
+        for fid, o in self.obs.items():
+            o.pop(victim, None)
+            self.obs[fid] = {
+                (k - 1 if k > victim else k): uv for k, uv in o.items()
+            }
+            if not self.obs[fid]:
+                dead.append(fid)
+        for fid in dead:
+            del self.obs[fid]
+
     @property
     def num_keyframes(self) -> int:
         return len(self.kf_t)

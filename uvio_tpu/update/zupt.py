@@ -42,18 +42,29 @@ def _inertial_system(state, layout, imu_t, imu_w, imu_a, noises, gravity_mag, no
     dt_avg = jnp.sum(jnp.where(valid, dts, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
 
     gravity = jnp.array([0.0, 0.0, gravity_mag], dtype=dtype)
-    R = quat_to_rot(state.q_fej)
-    Rg = R @ gravity
+    # residual at the CURRENT attitude (the reference's a_hat - Rot()*g,
+    # `UpdaterZeroVelocity.cpp:163-166`); only the Jacobian linearizes
+    # at FEJ. Using the FEJ attitude in the residual poisons long ZUPT
+    # holds: no propagation happens while frozen, so q_fej goes stale
+    # while q keeps being corrected, and the stale-residual chi2 creeps
+    # up until the ZUPT permanently rejects.
+    Rg = quat_to_rot(state.q) @ gravity
+    Rg_fej = quat_to_rot(state.q_fej) @ gravity
 
-    # rows: per sample [r_w(3); r_a(3)]
+    # rows: per sample [r_w(3); r_a(3)] with the innovation convention
+    # res = z - h(x) ~ +H dx (ekf_update applies x += K res): the
+    # measurement models are h_w = bg (+w_true=0) and h_a = ba + R g, so
+    # H_bg = +I, H_ba = +I, H_theta = +[R_fej g]x. (The reference writes
+    # the equivalent all-negated pair res = -w_hat with H = -I,
+    # UpdaterZeroVelocity.cpp:162-180.)
     r_w = imu_w - state.bg[None, :]
     r_a = imu_a - state.ba[None, :] - Rg[None, :]
     smask = jnp.concatenate([jnp.array([True]), valid])  # first sample + valid steps
 
     H_one = jnp.zeros((6, D), dtype)
-    H_one = H_one.at[3:6, L.theta_off : L.theta_off + 3].set(-skew(Rg))
-    H_one = H_one.at[0:3, L.bg_off : L.bg_off + 3].set(-jnp.eye(3, dtype=dtype))
-    H_one = H_one.at[3:6, L.ba_off : L.ba_off + 3].set(-jnp.eye(3, dtype=dtype))
+    H_one = H_one.at[3:6, L.theta_off : L.theta_off + 3].set(skew(Rg_fej))
+    H_one = H_one.at[0:3, L.bg_off : L.bg_off + 3].set(jnp.eye(3, dtype=dtype))
+    H_one = H_one.at[3:6, L.ba_off : L.ba_off + 3].set(jnp.eye(3, dtype=dtype))
 
     H = jnp.tile(H_one, (M, 1))  # (6M, D)
     res = jnp.concatenate([r_w, r_a], axis=1).reshape(-1)  # (6M,)
@@ -64,12 +75,58 @@ def _inertial_system(state, layout, imu_t, imu_w, imu_a, noises, gravity_mag, no
         jnp.concatenate([jnp.full(3, sig_w2, dtype), jnp.full(3, sig_a2, dtype)]), M
     )
     rmask = jnp.repeat(smask, 6)
-    return H * rmask[:, None], res * rmask, r_diag, rmask, 6 * n_valid, 6 * M
+    dt_sum = jnp.sum(jnp.where(valid, dts, 0.0))
+    return H * rmask[:, None], res * rmask, r_diag, rmask, 6 * n_valid, 6 * M, dt_sum
 
 
-def _gate(state, Hm, rm, r_diag, rmask, dof, max_dof, chi2_mult, max_velocity):
-    """chi2 + velocity-norm acceptance gate. Returns (accept, gamma)."""
-    PHt = state.cov @ Hm.T
+def _compress(layout, Hm, rm, r_diag, rmask, noise_mult):
+    """Whiten + QR-compress the stacked system to its 9 structural
+    columns [theta, bg, ba], mirroring the reference's
+    `measurement_compress_inplace` before the chi2
+    (UpdaterZeroVelocity.cpp:186-193): the gate then tests only the
+    9-dof projection of the residual (dof = res.rows() = 9), not the
+    thousands of noise-only components orthogonal to the Jacobian.
+
+    Returns (Hc (9,D), rc (9,), R_meas = noise_mult * I9).
+    """
+    L = layout
+    D = L.dim
+    dtype = Hm.dtype
+    # whiten rows by the raw discrete sigma; the zupt noise multiplier
+    # becomes the post-compression R = mult * I (reference order)
+    w = jnp.where(rmask, 1.0 / jnp.sqrt(r_diag / noise_mult), 0.0)
+    cols = jnp.concatenate(
+        [
+            jnp.arange(L.theta_off, L.theta_off + 3),
+            jnp.arange(L.bg_off, L.bg_off + 3),
+            jnp.arange(L.ba_off, L.ba_off + 3),
+        ]
+    )
+    Hs = (Hm * w[:, None])[:, cols]  # (6M, 9)
+    rw = rm * w
+    Q9, R9 = jnp.linalg.qr(Hs, mode="reduced")  # (6M,9),(9,9)
+    rc = Q9.T @ rw
+    Hc = jnp.zeros((9, D), dtype).at[:, cols].set(R9)
+    return Hc, rc
+
+
+def _bias_inflated_cov(state, layout, noises, dt_sum):
+    """Covariance with the bias random walk over the window added
+    (`model_time_varying_bias`, UpdaterZeroVelocity.cpp:195-204 +
+    268-276: Q_bias = dt_summed * sigma_b^2 enters both the chi2 gate
+    and, on accept, the pre-update bias propagation)."""
+    L = layout
+    dtype = state.cov.dtype
+    q = jnp.zeros((L.dim,), dtype)
+    q = q.at[L.bg_off : L.bg_off + 3].set(dt_sum * noises.sigma_wb**2)
+    q = q.at[L.ba_off : L.ba_off + 3].set(dt_sum * noises.sigma_ab**2)
+    return state.cov + jnp.diag(q)
+
+
+def _gate(cov, state, Hm, rm, r_diag, rmask, dof, max_dof, chi2_mult, max_velocity):
+    """chi2 + velocity-norm acceptance gate. Returns (accept, gamma).
+    `cov` is the (bias-inflated) covariance used for the innovation."""
+    PHt = cov @ Hm.T
     S = Hm @ PHt + jnp.diag(jnp.where(rmask, r_diag, 1.0))
     chol = jax.scipy.linalg.cho_factor(0.5 * (S + S.T), lower=True)
     gamma = rm @ jax.scipy.linalg.cho_solve(chol, rm)
@@ -97,15 +154,22 @@ def zupt_try_update(
     the camera-clock frame time stored on accept (imu_t spans the
     offset-shifted IMU-clock window when dt calibration is active)."""
     L = layout
-    Hm, rm, r_diag, rmask, dof, max_dof = _inertial_system(
+    Hm, rm, r_diag, rmask, dof, max_dof, dt_sum = _inertial_system(
         state, L, imu_t, imu_w, imu_a, noises, gravity_mag, noise_mult
     )
+    Hc, rc = _compress(L, Hm, rm, r_diag, rmask, noise_mult)
+    cov_infl = _bias_inflated_cov(state, L, noises, dt_sum)
+    rc_diag = jnp.full((9,), noise_mult, state.cov.dtype)
     accept, gamma = _gate(
-        state, Hm, rm, r_diag, rmask, dof, max_dof, chi2_mult, max_velocity
+        cov_infl, state, Hc, rc, rc_diag, jnp.ones((9,), bool),
+        jnp.int32(9), 9, chi2_mult, max_velocity,
     )
 
     def do(st):
-        new_st, _ = ekf_update(st, L, Hm, rm, r_diag, rmask)
+        # bias random-walk propagation before the update (the reference's
+        # EKFPropagation(Phi=I, Q_bias) on accept)
+        st = st.replace(cov=cov_infl)
+        new_st, _ = ekf_update(st, L, Hc, rc, rc_diag, jnp.ones((9,), bool))
         return new_st.replace(
             time=imu_t[-1] if stamp_time is None else stamp_time
         )
@@ -148,11 +212,14 @@ def zupt_explicit_update(
     L = layout
     D = L.dim
     dtype = state.cov.dtype
-    Hm, rm, r_diag, rmask, dof, max_dof = _inertial_system(
+    Hm, rm, r_diag, rmask, dof, max_dof, dt_sum = _inertial_system(
         state, L, imu_t, imu_w, imu_a, noises, gravity_mag, noise_mult
     )
+    Hc9, rc9 = _compress(L, Hm, rm, r_diag, rmask, noise_mult)
     accept_gate, gamma = _gate(
-        state, Hm, rm, r_diag, rmask, dof, max_dof, chi2_mult, max_velocity
+        _bias_inflated_cov(state, L, noises, dt_sum), state,
+        Hc9, rc9, jnp.full((9,), noise_mult, dtype), jnp.ones((9,), bool),
+        jnp.int32(9), 9, chi2_mult, max_velocity,
     )
     has_clone = state.clone_head >= 0
 
