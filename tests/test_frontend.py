@@ -258,3 +258,78 @@ def test_grid_detect_per_cell_topn():
         per_cell=2,
     )
     assert np.asarray(valid2).sum() == 1
+
+
+def test_tracker_refills_after_mass_loss():
+    """After wiping every track, one frame refills the tracker to (near)
+    capacity — per-cell top-N detection (`Grider_FAST.h:73`), not one
+    corner per cell per frame."""
+    rng = np.random.default_rng(3)
+    H, W = 240, 320
+    img = np.full((H, W), 60.0, np.float32)
+    # dense jittered dot grid: isolated bright pixels are ideal FAST-9
+    # corners, one every ~7 px -> far more candidates than capacity
+    for y0 in range(8, H - 8, 7):
+        for x0 in range(8, W - 8, 7):
+            y = y0 + int(rng.integers(-2, 3))
+            x = x0 + int(rng.integers(-2, 3))
+            img[y, x] = 230.0
+    intr = np.array([200.0, 200.0, W / 2, H / 2, 0, 0, 0, 0])
+    from uvio_tpu.frontend.tracker import KLTTracker
+
+    tr = KLTTracker(intr, num_features=120, grid=(5, 6), histeq="NONE")
+    assert tr.per_cell >= 4
+    tr.feed(0.0, img)
+    full = int(tr.active.sum())  # best-case one-frame fill on this texture
+    assert full >= 2 * 5 * 6, full  # > one corner per cell (old per_cell=1 cap)
+    tr.feed(0.1, img)
+    # mass track loss
+    tr.active[:] = False
+    tr.ids[:] = -1
+    tr.feed(0.2, img)
+    refilled = int(tr.active.sum())
+    assert refilled >= 0.8 * full, (refilled, full)
+
+
+def test_descriptor_rotation_invariance():
+    """Steered BRIEF survives 30-45 deg in-plane rotation where the
+    unsteered variant loses the match (TrackDescriptor's oriented ORB,
+    `TrackDescriptor.cpp:355-478`)."""
+    from scipy.ndimage import rotate as nd_rotate
+
+    from uvio_tpu.frontend.descriptor import describe, hamming_match
+
+    rng = np.random.default_rng(5)
+    H = W = 200
+    img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    # smooth it a bit so rotation resampling is benign
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(img, 2.0) * 4
+    c = np.array([100.0, 100.0])
+    pts_src = np.array([[100.0, 100.0], [80.0, 120.0], [126.0, 88.0]])
+
+    for deg in (30.0, 45.0):
+        rot = nd_rotate(img, deg, reshape=False, order=1)
+        th = np.radians(deg)
+        # scipy rotates CCW about the center in array (row, col) space;
+        # map source (x, y) -> rotated-image coordinates
+        R = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+        pts_dst = (pts_src - c) @ R.T + c
+
+        d1o, ok1 = describe(jnp.asarray(img), jnp.asarray(pts_src), jnp.ones(3, bool))
+        d2o, ok2 = describe(jnp.asarray(rot), jnp.asarray(pts_dst), jnp.ones(3, bool))
+        assert bool(jnp.all(ok1)) and bool(jnp.all(ok2))
+        m_o = np.asarray(hamming_match(d1o, ok1, d2o, ok2))
+
+        d1u, _ = describe(jnp.asarray(img), jnp.asarray(pts_src), jnp.ones(3, bool), oriented=False)
+        d2u, _ = describe(jnp.asarray(rot), jnp.asarray(pts_dst), jnp.ones(3, bool), oriented=False)
+        m_u = np.asarray(hamming_match(d1u, ok1, d2u, ok2))
+
+        # orientation from intensity centroids is noisy on near-isotropic
+        # patches, so demand a majority rather than perfection — and a
+        # strict win over the unsteered variant at these angles
+        n_o = (m_o == np.arange(3)).sum()
+        n_u = (m_u == np.arange(3)).sum()
+        assert n_o >= 2, (deg, m_o)
+        assert n_o > n_u, (deg, m_o, m_u)

@@ -3,26 +3,37 @@
 Equivalent of `ov_core/src/feat/FeatureDatabase.{h,cpp}` + `Feature.h`:
 id -> per-camera list of stamped uv observations, with the temporal
 queries the manager's triage needs. This bookkeeping is deliberately
-host-side (numpy scalars, dict ops at frame rate are negligible); the
-device consumes padded track tensors built from it.
+host-side; the device consumes padded track tensors built from it.
+
+The temporal queries are indexed by timestamp (`_by_time`): the naive
+feature x observation scan in `features_seen_at` showed up as a
+per-frame host hotspot in live-loop profiling (each frame queries the
+marginalized clone time over every track's full history).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Set, Tuple
 
 
 class Feature:
-    __slots__ = ("feat_id", "obs", "to_delete")
+    __slots__ = ("feat_id", "obs", "to_delete", "_n", "_newest")
 
     def __init__(self, feat_id: int):
         self.feat_id = feat_id
         # cam_id -> list[(t, u, v)] (time-ordered)
         self.obs: Dict[int, List[Tuple[float, float, float]]] = {}
         self.to_delete = False
+        # cached aggregates (num_obs/newest_time are called ~1000x per
+        # frame by triage sorting; recomputing them scanned every obs)
+        self._n = 0
+        self._newest = -1.0
 
     def add(self, t: float, cam: int, u: float, v: float):
         self.obs.setdefault(cam, []).append((t, u, v))
+        self._n += 1
+        if t > self._newest:
+            self._newest = t
 
     def times(self):
         ts = set()
@@ -31,25 +42,37 @@ class Feature:
         return ts
 
     def newest_time(self):
-        return max((lst[-1][0] for lst in self.obs.values() if lst), default=-1.0)
+        return self._newest
 
     def oldest_time(self):
         return min((lst[0][0] for lst in self.obs.values() if lst), default=-1.0)
 
     def num_obs(self):
-        return sum(len(lst) for lst in self.obs.values())
+        return self._n
 
     def clean_older_than(self, t: float):
         """Remove measurements at times < t (clean_old_measurements)."""
+        if self.oldest_time() >= t:
+            return  # nothing to trim (common case)
+        n = 0
         for c in list(self.obs.keys()):
             self.obs[c] = [o for o in self.obs[c] if o[0] >= t]
             if not self.obs[c]:
                 del self.obs[c]
+            else:
+                n += len(self.obs[c])
+        self._n = n
+        if n == 0:
+            self._newest = -1.0
 
 
 class FeatureDatabase:
     def __init__(self):
         self.features: Dict[int, Feature] = {}
+        # timestamp -> feature ids observed at that exact stamp
+        # (stamps flow through the pipeline verbatim, so exact float
+        # keys are consistent with the manager's slot-time matching)
+        self._by_time: Dict[float, Set[int]] = {}
 
     def update_feature(self, feat_id: int, t: float, cam: int, u: float, v: float):
         f = self.features.get(feat_id)
@@ -57,6 +80,7 @@ class FeatureDatabase:
             f = Feature(feat_id)
             self.features[feat_id] = f
         f.add(t, cam, u, v)
+        self._by_time.setdefault(t, set()).add(feat_id)
 
     def features_not_seen_at(self, t: float):
         """Lost tracks: newest obs strictly older than t
@@ -66,10 +90,27 @@ class FeatureDatabase:
     def features_seen_at(self, t: float):
         """Tracks with an observation at exactly time t
         (features_containing semantics)."""
+        ids = self._by_time.get(t)
+        if ids is None:
+            return []
+        # sorted -> deterministic order (set iteration is hash order;
+        # downstream triage tie-breaks depend on this order, and the old
+        # full scan iterated features in id-insertion order). Validate
+        # each hit against the feature's actual observations: ids are
+        # REUSED across feature generations (sim ids are map indices),
+        # so an index entry can point at a re-created feature that never
+        # saw this frame.
         out = []
-        for f in self.features.values():
-            if any(abs(o[0] - t) < 1e-9 for lst in f.obs.values() for o in lst):
+        live = set()
+        for i in sorted(ids):
+            f = self.features.get(i)
+            if f is None:
+                continue
+            if any(o[0] == t for lst in f.obs.values() for o in lst):
                 out.append(f)
+                live.add(i)
+        if len(live) != len(ids):
+            self._by_time[t] = live
         return out
 
     def cleanup(self):
@@ -81,6 +122,7 @@ class FeatureDatabase:
         for f in self.features.values():
             f.clean_older_than(t)
         self.features = {i: f for i, f in self.features.items() if f.num_obs() > 0}
+        self._by_time = {tt: ids for tt, ids in self._by_time.items() if tt >= t}
 
     def __len__(self):
         return len(self.features)
@@ -97,6 +139,9 @@ class FeatureDatabase:
         db = cls()
         for i, obs in d.items():
             f = Feature(int(i))
-            f.obs = {int(c): [tuple(o) for o in lst] for c, lst in obs.items()}
+            for c, lst in obs.items():
+                for o in lst:
+                    f.add(o[0], int(c), o[1], o[2])
+                    db._by_time.setdefault(o[0], set()).add(f.feat_id)
             db.features[int(i)] = f
         return db

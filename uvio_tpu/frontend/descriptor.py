@@ -8,10 +8,11 @@ RANSAC), re-designed batched:
   * descriptors are 256-bit BRIEF (seeded fixed point-pair pattern over
     a smoothed patch, packed into 8 uint32 words);
   * matching is one XOR + population-count Hamming matrix with ratio
-    and mutual-best (symmetry) tests, then fundamental RANSAC.
-
-Rotation steering is omitted (frame-to-frame matching at video rate —
-the regime the reference uses it in — has small in-plane rotation).
+    and mutual-best (symmetry) tests, then fundamental RANSAC;
+  * ORB rotation invariance (`TrackDescriptor.cpp:355-478` extracts
+    oriented ORB): intensity-centroid orientation over a circular patch
+    (the ORB moment method) steers the BRIEF sampling pattern, so
+    matching survives in-plane rotation (aggressive UAV flight).
 """
 
 from __future__ import annotations
@@ -43,22 +44,48 @@ def _brief_pattern(seed=7):
 _PATTERN = _brief_pattern()
 
 
+def _disk_offsets(radius=_PATCH_HALF):
+    """Integer offsets of a filled disk (static, for the ORB moments)."""
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    m = ys**2 + xs**2 <= radius**2
+    return jnp.asarray(np.stack([xs[m], ys[m]], axis=1), jnp.float32)  # (K,2)
+
+
+_DISK = _disk_offsets()
+
+
 def _smooth(img):
     """5x5 box blur (the BRIEF pre-smoothing)."""
     k = jnp.ones((5, 5), img.dtype) / 25.0
     return jax.scipy.signal.convolve2d(img, k, mode="same")
 
 
-def describe(img, uv, valid):
-    """256-bit BRIEF descriptors at keypoints uv (N,2).
+def describe(img, uv, valid, oriented=True):
+    """256-bit (optionally steered) BRIEF descriptors at uv (N,2).
 
+    `oriented=True` computes the ORB intensity-centroid angle
+    theta = atan2(m01, m10) over a radius-15 disk and rotates the
+    sampling pattern by it (rotation-invariant matching).
     Returns (desc (N,8) uint32, ok (N,))."""
     H, W = img.shape
     sm = _smooth(img)
 
     def one(c, v):
+        if oriented:
+            # ORB moments on integer pixels of the disk around c
+            px = jnp.clip(jnp.round(c[0] + _DISK[:, 0]).astype(jnp.int32), 0, W - 1)
+            py = jnp.clip(jnp.round(c[1] + _DISK[:, 1]).astype(jnp.int32), 0, H - 1)
+            inten = img[py, px]
+            m10 = jnp.sum(_DISK[:, 0] * inten)
+            m01 = jnp.sum(_DISK[:, 1] * inten)
+            theta = jnp.arctan2(m01, m10)
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            R = jnp.array([[ct, -st], [st, ct]], jnp.float32)
+            pat = jnp.einsum("ij,nkj->nki", R, _PATTERN)
+        else:
+            pat = _PATTERN
         # sample both endpoints of each pair (bilinear)
-        pts = _PATTERN + c[None, None, :]  # (256,2,2) absolute xy
+        pts = pat + c[None, None, :]  # (256,2,2) absolute xy
         x = jnp.clip(pts[..., 0], 0, W - 2)
         y = jnp.clip(pts[..., 1], 0, H - 2)
         x0 = jnp.floor(x).astype(jnp.int32)
@@ -76,11 +103,13 @@ def describe(img, uv, valid):
         words = bits.reshape(8, 32)
         shifts = jnp.arange(32, dtype=jnp.uint32)
         desc = jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
+        # steered pattern can reach sqrt(2) * patch half
+        margin = int(np.ceil(_PATCH_HALF * np.sqrt(2.0))) if oriented else _PATCH_HALF
         inb = (
-            (c[0] > _PATCH_HALF)
-            & (c[0] < W - _PATCH_HALF - 1)
-            & (c[1] > _PATCH_HALF)
-            & (c[1] < H - _PATCH_HALF - 1)
+            (c[0] > margin)
+            & (c[0] < W - margin - 1)
+            & (c[1] > margin)
+            & (c[1] < H - margin - 1)
         )
         return desc, v & inb
 

@@ -49,6 +49,15 @@ class KLTTracker:
         # work, CLAHE falls back to the cv2 host path
         self.histeq = histeq
 
+        # detection capacity per cell sized like the reference
+        # (`Grider_FAST.h:73` num_features/grid, here capped to bound
+        # the top_k compile size): after mass track loss the detector
+        # can refill the whole budget in one frame instead of one
+        # corner per cell per frame
+        import math
+
+        self.per_cell = max(1, min(4, math.ceil(num_features / (grid[0] * grid[1]))))
+
         self.uv = np.zeros((self.cap, 2), np.float32)
         self.active = np.zeros(self.cap, bool)
         self.ids = np.full(self.cap, -1, np.int64)
@@ -76,6 +85,7 @@ class KLTTracker:
                 half=self.half,
                 fast_thresh=self.fast_thresh,
                 histeq=self.histeq if self.histeq != "CLAHE" else "NONE",
+                per_cell=self.per_cell,
             )
         )
 
@@ -96,6 +106,7 @@ class KLTTracker:
         half,
         fast_thresh,
         histeq,
+        per_cell,
     ):
         if histeq == "HISTOGRAM":
             from .klt import hist_equalize
@@ -112,7 +123,9 @@ class KLTTracker:
         tracked = active & ok & inl
         # keep failed tracks' slots free; detect new corners in free cells
         score = fast_score(img, fast_thresh)
-        det_uv, det_ok = grid_detect(score, grid[0], grid[1], uv_new, tracked)
+        det_uv, det_ok = grid_detect(
+            score, grid[0], grid[1], uv_new, tracked, per_cell=per_cell
+        )
         return uv_new, tracked, det_uv, det_ok
 
     # -- host side ------------------------------------------------------
@@ -136,6 +149,7 @@ class KLTTracker:
             det_uv, det_ok = grid_detect(
                 score, self.grid[0], self.grid[1],
                 jnp.asarray(self.uv), jnp.asarray(self.active),
+                per_cell=self.per_cell,
             )
             self._spawn(np.asarray(det_uv), np.asarray(det_ok))
             return self._emit()

@@ -124,6 +124,16 @@ class VioConfig:
     # full_filter_step). False = legacy staged path with one dispatch
     # and a host sync per stage (kept for per-stage timing/debugging).
     fused_step: bool = True
+    # defer device synchronization in the fused per-frame step: dispatch
+    # and return without fetching results, letting dispatches pipeline.
+    # Hides dispatch/transfer latency (essential behind a remote-TPU
+    # tunnel; also removes the per-frame host-device round trip on local
+    # chips). Effective only when no host decision depends on the frame's
+    # device results: max_slam == 0, try_zupt False, no UWB drained this
+    # frame — otherwise the frame falls back to the synchronous path.
+    # cov-health is checked on a deferred ~16-frame-old result; traveled
+    # distance is not tracked (no UWB gate needs it in this mode).
+    async_dispatch: bool = False
     # action on a corrupted covariance after an update (negative
     # diagonal or NaN): "raise" mirrors the reference's hard exit
     # (`StateHelper.cpp:102-113`), "warn" logs and keeps filtering,
@@ -914,6 +924,43 @@ class VioManager:
 
         # ---- ONE device dispatch ---------------------------------------
         self.state, infos = self._jit_full(self.state, fb)
+
+        # async mode: no host decision depends on this frame's device
+        # results — skip the sync entirely and let dispatches pipeline
+        # (hides device round-trip latency; see VioConfig.async_dispatch)
+        if (
+            cfg.async_dispatch
+            and S == 0
+            and not cfg.try_zupt
+            and not sets
+        ):
+            t2h = _time.perf_counter()
+            if not hasattr(self, "_pending_infos"):
+                self._pending_infos = []
+            self._pending_infos.append((t, infos["cov_ok"]))
+            if len(self._pending_infos) >= 16:
+                # result is long since computed; fetch is one transfer
+                t_old, ok_old = self._pending_infos.pop(0)
+                self._check_cov_ok(
+                    bool(ok_old), f"fused frame step (deferred, t={t_old:.3f})"
+                )
+            self.last_msckf_info = infos["msckf"]  # device arrays, lazy
+            self._last_prop_dt = dt_now
+            for f in feats:
+                f.to_delete = True
+            self.db.cleanup()
+            if marg_enable:
+                self.slot_times.pop(marg_slot, None)
+                self.db.cleanup_older_than(marg_t + 1e-9)
+            while len(self._imu_t) > 2 and self._imu_t[1] < t - 0.2:
+                self._imu_t.pop(0)
+                self._imu_w.pop(0)
+                self._imu_a.pop(0)
+            t3h = _time.perf_counter()
+            self._record_fused_timing(t, t1h - t0h, t2h - t1h, t3h - t2h)
+            self._last_frame_t = t
+            return
+
         jax.block_until_ready(self.state.cov)
         t2h = _time.perf_counter()
 
