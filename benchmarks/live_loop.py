@@ -29,8 +29,25 @@ sys.path.insert(0, REPO)
 
 
 def ensure_streams(out, seconds):
-    """Dump the mono scenario streams with the reference driver if absent."""
+    """Dump the mono scenario streams with the reference driver if
+    absent; fall back to the vendored copy when the reference isn't
+    mounted."""
     if os.path.exists(os.path.join(out, "imu.csv")):
+        return
+    if not os.path.isdir("/root/reference"):
+        import gzip
+        import shutil
+
+        src = os.path.join(REPO, "data", "streams", "mono")
+        os.makedirs(out, exist_ok=True)
+        for f in ("imu.csv", "cam.csv"):
+            with gzip.open(os.path.join(src, f + ".gz"), "rb") as fin, \
+                    open(os.path.join(out, f), "wb") as fout:
+                shutil.copyfileobj(fin, fout)
+        for f in ("init.txt", "gt.txt", "ref_est.txt"):
+            shutil.copy(os.path.join(src, f), out)
+        shutil.copytree(os.path.join(src, "config"),
+                        os.path.join(out, "config"), dirs_exist_ok=True)
         return
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
     env = dict(os.environ, JAX_PLATFORMS="cpu")

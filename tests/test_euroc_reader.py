@@ -104,11 +104,18 @@ def test_run_euroc_on_synthetic_dataset(tmp_path):
     # ---- reference-style config dir ----------------------------------
     cfgdir = tmp_path / "config"
     cfgdir.mkdir()
-    shutil.copy(
-        "/root/reference/config/rpng_sim/kalibr_imu_chain.yaml", cfgdir
-    ) if os.path.isdir("/root/reference/config/rpng_sim") else None
+    # vendored copy first; the reference mount is optional
+    _vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "streams", "mono", "config",
+    )
+    for _src in (os.path.join(_vendor, "kalibr_imu_chain.yaml"),
+                 "/root/reference/config/rpng_sim/kalibr_imu_chain.yaml"):
+        if os.path.exists(_src):
+            shutil.copy(_src, cfgdir)
+            break
     if not (cfgdir / "kalibr_imu_chain.yaml").exists():
-        pytest.skip("reference config dir not mounted")
+        pytest.skip("no kalibr chain available")
     fx, fy, cx, cy = cam.intrinsics[:4]
     (cfgdir / "kalibr_imucam_chain.yaml").write_text(f"""%YAML:1.0
 cam0:
@@ -124,7 +131,10 @@ cam0:
   resolution: [{cam.width}, {cam.height}]
   timeshift_cam_imu: 0.0
 """)
-    text = open("/root/reference/config/rpng_sim/estimator_config.yaml").read()
+    _est = os.path.join(_vendor, "estimator_config.yaml")
+    if not os.path.exists(_est):
+        _est = "/root/reference/config/rpng_sim/estimator_config.yaml"
+    text = open(_est).read()
     import re as _re
 
     overrides = {
