@@ -93,25 +93,26 @@ class FeatureDatabase:
         ids = self._by_time.get(t)
         if ids is None:
             return []
-        # sorted -> deterministic order (set iteration is hash order;
-        # downstream triage tie-breaks depend on this order, and the old
-        # full scan iterated features in id-insertion order). Validate
-        # each hit against the feature's actual observations: ids are
-        # REUSED across feature generations (sim ids are map indices),
-        # so an index entry can point at a re-created feature that never
-        # saw this frame.
-        out = []
+        # Validate each hit against the feature's actual observations:
+        # ids are REUSED across feature generations (sim ids are map
+        # indices), so an index entry can point at a re-created feature
+        # that never saw this frame.
         live = set()
-        for i in sorted(ids):
+        for i in ids:
             f = self.features.get(i)
-            if f is None:
-                continue
-            if any(o[0] == t for lst in f.obs.values() for o in lst):
-                out.append(f)
+            if f is not None and any(
+                o[0] == t for lst in f.obs.values() for o in lst
+            ):
                 live.add(i)
         if len(live) != len(ids):
             self._by_time[t] = live
-        return out
+        # emit in feature-INSERTION order (dict order of self.features):
+        # downstream triage breaks num_obs ties by this order, and the
+        # pre-index full scan iterated insertion order — iteration order
+        # is behavior here, not cosmetics (changing it to sorted-by-id
+        # shifted which tied candidates became SLAM landmarks and
+        # measurably regressed the mono_slam/stereo_slam head-to-heads)
+        return [f for f in self.features.values() if f.feat_id in live]
 
     def cleanup(self):
         self.features = {
