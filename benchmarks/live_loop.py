@@ -76,10 +76,21 @@ def main():
         "validated ATE/NEES-equivalent to f64 on sim; f64 is emulated "
         "on TPU and ~15x slower)",
     )
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu). The image's sitecustomize "
+        "re-forces the axon TPU via jax.config, so the env var alone is "
+        "not enough.",
+    )
     args = ap.parse_args()
     ensure_streams(args.out, args.seconds)
 
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from uvio_tpu.manager import VioManager
     from uvio_tpu.utils.config import load_config

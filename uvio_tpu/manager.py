@@ -256,6 +256,14 @@ class VioManager:
         # (UVioManager.cpp:64-67 `distance > min_dist_to_use_uwb`)
         self.distance = 0.0
         self._last_update_p: Optional[np.ndarray] = None
+        # host mirrors of state.time / state.calib_dt: both are
+        # deterministic on the host (time = the stamp of the last
+        # consumed measurement; dt changes only via the EKF when
+        # timeoffset calib is on, refreshed after sync updates), and a
+        # device->host scalar fetch costs ~30 ms through a remote-TPU
+        # tunnel — 4 per-frame fetches made the live loop 8 fps
+        self._time_host: Optional[float] = None
+        self._dt_host: float = float(cfg.camimu_dt)
         # camera-IMU time offset applied at the last propagation
         # (`Propagator::last_prop_time_offset`, Propagator.cpp:54-64):
         # IMU windows are [t_state + dt_last, t_meas + dt_now] so a
@@ -389,6 +397,7 @@ class VioManager:
         self.is_initialized = True
         # SLAM delayed-init gate reference point (`startup_time`)
         self._startup_time = float(t)
+        self._time_host = float(t)
 
     # ------------------------------------------------------------------
     def _try_static_init(self):
@@ -475,7 +484,7 @@ class VioManager:
         imu_a = np.zeros((P - 1, M, 3))
         # pose times are camera-clock: shift IMU windows by the seeded
         # camera-IMU offset (the initializer uses t_img + t_off as well)
-        dt0 = float(self.state.calib_dt)
+        dt0 = self._dt_host
         try:
             for i in range(P - 1):
                 tt, ww, aa = select_imu_readings_np(
@@ -583,7 +592,7 @@ class VioManager:
             return False
         if self.cfg.zupt_max_disparity > 0 and not self._disparity_small(t):
             return False
-        t0 = float(self.state.time)
+        t0 = self._time_host
         if t <= t0:
             return False
         tt, ww, aa, dt_now = self._select_imu_window(t)
@@ -620,6 +629,7 @@ class VioManager:
         }
         if bool(accepted):
             self.state = new_state
+            self._time_host = float(t)
             self._last_prop_dt = dt_now
             # consumed: observations at this frozen frame can't be used
             # later (no clone exists for t) — drop them
@@ -694,14 +704,14 @@ class VioManager:
             if self.cfg.use_dynamic_init:
                 self._try_dynamic_init(t)
             return
-        if t <= float(self.state.time):
+        if t <= self._time_host:
             # out-of-order frame: warn + drop (`VioManager.cpp:329-334`)
             from .utils.logger import print_warning
 
             print_warning(
                 "image at t=%.6f is older than state time %.6f: dropped",
                 t,
-                float(self.state.time),
+                self._time_host,
             )
             return
         if self.cfg.fused_step:
@@ -727,6 +737,8 @@ class VioManager:
         t4 = _time.perf_counter()
         self._marginalize(t)
         t5 = _time.perf_counter()
+        if self.cfg.calib_cam_timeoffset:
+            self._dt_host = float(self.state.calib_dt)
         # per-stage wall times (the reference's timing CSV,
         # VioManager.cpp:604-644); seconds per stage
         self.last_timing = {
@@ -746,6 +758,7 @@ class VioManager:
                 f"{row['total']:.6f}\n"
             )
         self._last_frame_t = t
+        self._time_host = float(t)
         self._track_distance()
 
     def _track_distance(self):
@@ -774,7 +787,7 @@ class VioManager:
         U = self._full_cfg.uwb_sets_per_frame
         A = getattr(L, "max_anchors", 0)
 
-        dt_now = float(self.state.calib_dt)
+        dt_now = self._dt_host
         if self._last_prop_dt is None:
             self._last_prop_dt = dt_now
         # collect UWB sets BEFORE capturing the propagation cursor: on
@@ -782,7 +795,7 @@ class VioManager:
         # and every window below must start from the post-drain state time
         # (otherwise the drained IMU interval would be integrated twice)
         sets = self._collect_uwb_sets(t)
-        cursor = float(self.state.time)
+        cursor = self._time_host
         dt_last = self._last_prop_dt
 
         imu_t_arr = np.asarray(self._imu_t)
@@ -938,9 +951,13 @@ class VioManager:
             if not hasattr(self, "_pending_infos"):
                 self._pending_infos = []
             self._pending_infos.append((t, infos["cov_ok"]))
-            if len(self._pending_infos) >= 16:
-                # result is long since computed; fetch is one transfer
-                t_old, ok_old = self._pending_infos.pop(0)
+            if len(self._pending_infos) >= 32:
+                # check the NEWEST pending flag and drop the batch: cov
+                # corruption persists (NaN stays NaN), and even a fetch
+                # of a long-finished scalar costs a full device round
+                # trip — one per 32 frames instead of one per frame
+                t_old, ok_old = self._pending_infos[-1]
+                self._pending_infos.clear()
                 self._check_cov_ok(
                     bool(ok_old), f"fused frame step (deferred, t={t_old:.3f})"
                 )
@@ -959,6 +976,7 @@ class VioManager:
             t3h = _time.perf_counter()
             self._record_fused_timing(t, t1h - t0h, t2h - t1h, t3h - t2h)
             self._last_frame_t = t
+            self._time_host = float(t)
             return
 
         jax.block_until_ready(self.state.cov)
@@ -970,6 +988,7 @@ class VioManager:
         if z_acc:
             # motion frozen: no clone/update happened on device
             self.slot_times, self._head = saved_slots, saved_head
+            self._time_host = float(t)
             self._last_prop_dt = dt_now
             self.db.cleanup_older_than(t + 1e-9)
             self._last_frame_t = t
@@ -981,6 +1000,9 @@ class VioManager:
         self.last_uwb_info = {"accepted": infos["uwb_accepted"]}
         self._consume_uwb_sets(sets)
         self._last_prop_dt = dt_now
+        if cfg.calib_cam_timeoffset:
+            # the EKF moved the dt estimate; refresh the host mirror
+            self._dt_host = float(self.state.calib_dt)
 
         # msckf features consumed
         for f in feats:
@@ -1022,6 +1044,7 @@ class VioManager:
         t3h = _time.perf_counter()
         self._record_fused_timing(t, t1h - t0h, t2h - t1h, t3h - t2h)
         self._last_frame_t = t
+        self._time_host = float(t)
         self._track_distance()
 
     def _record_fused_timing(self, t, build_s, device_s, post_s):
@@ -1059,7 +1082,7 @@ class VioManager:
         (tt, ww, aa, dt_now); callers commit `self._last_prop_dt =
         dt_now` once the state time actually advances."""
         t0 = float(self.state.time)
-        dt_now = float(self.state.calib_dt)
+        dt_now = self._dt_host
         if self._last_prop_dt is None:
             self._last_prop_dt = dt_now
         time0 = t0 + self._last_prop_dt
@@ -1078,6 +1101,7 @@ class VioManager:
             self.state, imu_t=jnp.asarray(tt), imu_w=jnp.asarray(ww),
             imu_a=jnp.asarray(aa), stamp_time=jnp.asarray(t, jnp.float64),
         )
+        self._time_host = float(t)
         self._last_prop_dt = dt_now
         # mirror ring arithmetic
         K = self.layout.max_clones
@@ -1278,7 +1302,7 @@ class VioManager:
         """IMU-rate pose output: mean-only propagation of the current
         state to time t (`fast_state_propagate` /
         `visualize_odometry` equivalent). Returns (q_GtoI, p, v)."""
-        t0 = float(self.state.time)
+        t0 = self._time_host if self._time_host is not None else -np.inf
         if not self.is_initialized or t <= t0 or not self._imu_t:
             return (np.asarray(self.state.q), np.asarray(self.state.p),
                     np.asarray(self.state.v))

@@ -221,7 +221,7 @@ class UVioManager(VioManager):
             if t_u >= t_img:
                 remaining.append((t_u, ranges))
                 continue
-            t0 = float(self.state.time)
+            t0 = self._time_host
             if t_u > t0:
                 # offset-shifted IMU window, camera-clock stamp — the
                 # reference's UVioPropagator shares last_prop_time_offset
@@ -232,6 +232,7 @@ class UVioManager(VioManager):
                     imu_a=jnp.asarray(aa),
                     stamp_time=jnp.asarray(t_u, jnp.float64),
                 )
+                self._time_host = float(t_u)
                 self._last_prop_dt = dt_now
             r = np.zeros(A)
             m = np.zeros(A, bool)
