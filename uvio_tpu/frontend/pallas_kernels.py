@@ -130,12 +130,15 @@ def use_pallas_fast(img_shape) -> bool:
 # of a gather per iteration.
 
 _LK_MARGIN = 6  # search-slab half-margin (px) the iterations may roam
+_LK_SLAB_W = 256  # DMA slab lane width: 128-aligned base + <128 residual + patch
+_LK_TSLAB_H = 24  # template slab rows: 8-aligned base residual (<8) + patch
+_LK_NSLAB_H = 40  # search slab rows: residual (<8) + patch + 2*margin, 8-multiple
 
 
 def _lk_kernel(
     uv_ref, guess_ref, valid_ref, imgp_hbm, imgn_hbm,
     out_uv, out_ok, tslab, nslab, sem, sem2,
-    *, N, half, iters, min_eig, H, W,
+    *, N, half, iters, min_eig, H, W, W_pad,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -144,10 +147,46 @@ def _lk_kernel(
     P2 = P + 1           # +1 row/col for bilinear blending
     M = _LK_MARGIN
     S = P2 + 2 * M       # search slab side
+    TW = _LK_SLAB_W      # lane width of the DMA slabs (2 x 128)
 
-    def bilinear(slab, oy, ox, fy, fx, size):
-        # (size+1, size+1) corner block at integer offset (oy, ox)
-        blk = slab[pl.ds(oy, size + 1), pl.ds(ox, size + 1)]
+    def aligned_base(x0c):
+        # Mosaic requires HBM DMA lane offsets provably 128-aligned:
+        # DMA a 2x128-wide slab starting at the aligned floor of the
+        # wanted offset; the residual (< 128) becomes an in-VMEM lane
+        # offset. The wrapper pads the image width to a 128 multiple so
+        # the clamped base stays aligned.
+        # clamp FIRST, align LAST: the mosaic divisibility prover
+        # recognizes (expr // k) * k as a k-multiple only when it is the
+        # outermost expression (a trailing min() defeats it)
+        c128 = jnp.int32(128)
+        return (jnp.minimum(x0c, jnp.int32(W_pad - TW)) // c128) * c128
+
+    def aligned_base_row(y0c, slab_h):
+        # sublane (dim 0) DMA offsets must be 8-aligned likewise
+        c8 = jnp.int32(8)
+        return (jnp.minimum(y0c, jnp.int32(H - slab_h)) // c8) * c8
+
+    def bilinear(slab, oy, ox, fy, fx, size, ph, pw):
+        # (size+1, size+1) corner block at integer offset (oy, ox).
+        # Mosaic cannot do unaligned dynamic slicing (lane offsets must
+        # be 128 multiples, sublanes 8), so rotate the whole slab value
+        # by (-oy, -ox) with tpu.dynamic_rotate (any shift allowed) and
+        # take a STATIC corner slice. Wraparound columns land beyond the
+        # slice as long as off + size + 1 <= period (guaranteed by the
+        # slab sizing).
+        # rows via one-hot matmul (dynamic sublane rotates don't lower
+        # here either: "tile index divisible by 8"); lanes via rotate
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (size + 1, ph), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (size + 1, ph), 0) + oy
+        ).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            sel, slab[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (size+1, pw)
+        sx = jnp.where(ox == 0, jnp.int32(0), jnp.int32(pw) - ox)
+        r = pltpu.roll(rows, shift=sx, axis=1)
+        blk = r[:, 0 : size + 1]
         top = blk[:-1, :-1] * (1.0 - fx) + blk[:-1, 1:] * fx
         bot = blk[1:, :-1] * (1.0 - fx) + blk[1:, 1:] * fx
         return top * (1.0 - fy) + bot * fy
@@ -162,32 +201,50 @@ def _lk_kernel(
         tx0 = jnp.floor(px).astype(jnp.int32) - half
         ty0 = jnp.floor(py).astype(jnp.int32) - half
         tin = (tx0 >= 0) & (ty0 >= 0) & (tx0 + P2 < W) & (ty0 + P2 < H)
-        tx0c = jnp.clip(tx0, 0, W - P2 - 1)
-        ty0c = jnp.clip(ty0, 0, H - P2 - 1)
+        # NOTE: jnp.clip with python-int bounds lowers to a closed_call
+        # whose x64-weak f64 converts send the mosaic lowering into
+        # infinite recursion on this backend; explicit int32 min/max
+        # lowers cleanly
+        tx0c = jnp.maximum(jnp.minimum(tx0, jnp.int32(W - P2 - 1)), jnp.int32(0))
+        ty0c = jnp.maximum(jnp.minimum(ty0, jnp.int32(H - P2 - 1)), jnp.int32(0))
+        tx_base = aligned_base(tx0c)
+        tdx = tx0c - tx_base
+        ty_base = aligned_base_row(ty0c, _LK_TSLAB_H)
+        tdy = ty0c - ty_base
         cp = pltpu.make_async_copy(
-            imgp_hbm.at[pl.ds(ty0c, P2), pl.ds(tx0c, P2)], tslab, sem
+            imgp_hbm.at[pl.ds(ty_base, _LK_TSLAB_H), pl.ds(tx_base, TW)],
+            tslab, sem,
         )
         cp.start()
 
         # ---- search slab from img_next around the guess ----
         sx0 = jnp.floor(gx0).astype(jnp.int32) - half - M
         sy0 = jnp.floor(gy0).astype(jnp.int32) - half - M
-        sx0c = jnp.clip(sx0, 0, W - S - 1)
-        sy0c = jnp.clip(sy0, 0, H - S - 1)
+        sx0c = jnp.maximum(jnp.minimum(sx0, jnp.int32(W - S - 1)), jnp.int32(0))
+        sy0c = jnp.maximum(jnp.minimum(sy0, jnp.int32(H - S - 1)), jnp.int32(0))
+        sx_base = aligned_base(sx0c)
+        sdx = sx0c - sx_base
+        sy_base = aligned_base_row(sy0c, _LK_NSLAB_H)
+        sdy = sy0c - sy_base
         cp2 = pltpu.make_async_copy(
-            imgn_hbm.at[pl.ds(sy0c, S + 1), pl.ds(sx0c, S + 1)], nslab, sem2
+            imgn_hbm.at[pl.ds(sy_base, _LK_NSLAB_H), pl.ds(sx_base, TW)],
+            nslab, sem2,
         )
         cp2.start()
         cp.wait()
 
         fx = px - jnp.floor(px)
         fy = py - jnp.floor(py)
-        tmpl = bilinear(tslab, 0, 0, fy, fx, P)
+        tmpl = bilinear(tslab, tdy, tdx, fy, fx, P, _LK_TSLAB_H, TW)
+        # shifts must be 32-bit for tpu.dynamic_rotate (x64 mode would
+        # trace python ints as s64)
+        s1 = jnp.int32(1)
+        sP = jnp.int32(P - 1)
         gxg = 0.5 * (
-            pltpu.roll(tmpl, shift=P - 1, axis=1) - pltpu.roll(tmpl, shift=1, axis=1)
+            pltpu.roll(tmpl, shift=sP, axis=1) - pltpu.roll(tmpl, shift=s1, axis=1)
         )
         gyg = 0.5 * (
-            pltpu.roll(tmpl, shift=P - 1, axis=0) - pltpu.roll(tmpl, shift=1, axis=0)
+            pltpu.roll(tmpl, shift=sP, axis=0) - pltpu.roll(tmpl, shift=s1, axis=0)
         )
         edge_r = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
         edge_c = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
@@ -208,10 +265,12 @@ def _lk_kernel(
             ox = jnp.floor(qx).astype(jnp.int32) - half - sx0c
             oy = jnp.floor(qy).astype(jnp.int32) - half - sy0c
             okp = (ox >= 0) & (oy >= 0) & (ox + P2 <= S) & (oy + P2 <= S)
-            oxc = jnp.clip(ox, 0, S - P2)
-            oyc = jnp.clip(oy, 0, S - P2)
+            oxc = jnp.maximum(jnp.minimum(ox, jnp.int32(S - P2)), jnp.int32(0))
+            oyc = jnp.maximum(jnp.minimum(oy, jnp.int32(S - P2)), jnp.int32(0))
             cur = bilinear(
-                nslab, oyc, oxc, qy - jnp.floor(qy), qx - jnp.floor(qx), P
+                nslab, oyc + sdy, oxc + sdx,
+                qy - jnp.floor(qy), qx - jnp.floor(qx),
+                P, _LK_NSLAB_H, TW,
             )
             err = cur - tmpl
             bx = jnp.sum(gxg * err)
@@ -231,7 +290,9 @@ def _lk_kernel(
         out_ok[i] = ok.astype(jnp.int32)
         return carry
 
-    jax.lax.fori_loop(0, N, body, 0)
+    # int32 bounds: python ints under x64 make the loop index s64,
+    # and s64->s32 converts cycle forever in the mosaic lowering
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(N), body, jnp.int32(0))
 
 
 @functools.partial(
@@ -255,10 +316,17 @@ def lk_level_pallas(
     N = uv_prev.shape[0]
     P2 = 2 * half + 2
     S = P2 + 2 * _LK_MARGIN
+    # pad width to a 128 multiple plus one extra slab so the aligned DMA
+    # bases stay in range (Mosaic: dynamic lane offsets must be provably
+    # 128-aligned)
+    W_pad = ((W + 127) // 128) * 128 + 128
+    pad = W_pad - W
+    img_prev = jnp.pad(img_prev, ((0, 0), (0, pad)))
+    img_next = jnp.pad(img_next, ((0, 0), (0, pad)))
 
     kern = functools.partial(
         _lk_kernel, N=N, half=half, iters=iters, min_eig=float(min_eig),
-        H=H, W=W,
+        H=H, W=W, W_pad=W_pad,
     )
     out_uv, out_ok = pl.pallas_call(
         kern,
@@ -278,8 +346,8 @@ def lk_level_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((P2, P2), jnp.float32),
-            pltpu.VMEM((S + 1, S + 1), jnp.float32),
+            pltpu.VMEM((_LK_TSLAB_H, _LK_SLAB_W), jnp.float32),
+            pltpu.VMEM((_LK_NSLAB_H, _LK_SLAB_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -1374,6 +1374,10 @@ class VioManager:
 
         state, meta = load_state(path, self.state)
         self.state = state
+        # host mirrors rebuilt from the restored device state (one-time
+        # fetch; see _time_host/_dt_host in __init__)
+        self._time_host = float(state.time)
+        self._dt_host = float(state.calib_dt)
         self.is_initialized = meta["is_initialized"]
         self._head = meta["head"]
         self.slot_times = {int(k): v for k, v in meta["slot_times"].items()}
