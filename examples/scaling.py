@@ -123,7 +123,11 @@ def run_ba_strong(n_devices: int, N=32, L=2048, iters=8, n_rep=3):
     obs += 1e-3 * rng.standard_normal(obs.shape)
     lm0 = lm + 0.1 * rng.standard_normal(lm.shape)
 
-    kf_ax = 2 if n_devices % 2 == 0 else 1
+    # prefer the LANDMARK axis: L >> N so lm-sharding balances better,
+    # and the kf axis adds an all-gather of pose-block Jacobians per
+    # iteration (measured: (2,1) kf-mesh 1.6 s vs (1,2) lm-mesh 0.97 s
+    # at N=32/L=2048 on the virtual mesh). Split onto kf only past 4.
+    kf_ax = 1 if n_devices <= 4 else 2
     mesh = (
         Mesh(
             np.array(jax.devices()[:n_devices]).reshape(kf_ax, n_devices // kf_ax),
