@@ -235,13 +235,18 @@ def slam_delayed_init(
 
     M = Hx.shape[1]
 
-    def init_one(st, inp):
-        Hx_f, Hf_f, r_f, rm_f, slot, fid, act, p_f = inp
-        # QR split (StateHelper::initialize Givens equivalent)
+    # QR split (StateHelper::initialize Givens equivalent), hoisted out
+    # of the sequential scan: the rotation depends only on each
+    # candidate's own H_f, so all candidates factor in one vmap batch
+    # (8 sequential small complete-QRs measured ~0.5 ms/frame on-chip)
+    def split_one(Hx_f, Hf_f, r_f):
         Q, _ = jnp.linalg.qr(Hf_f, mode="complete")
-        Hf_tri = (Q.T @ Hf_f)[:3]  # (3,3) upper triangular
-        Hx_q = Q.T @ Hx_f
-        r_q = Q.T @ r_f
+        return (Q.T @ Hf_f)[:3], Q.T @ Hx_f, Q.T @ r_f
+
+    Hf_tri_b, Hx_q_b, r_q_b = jax.vmap(split_one)(Hx_p, H_f_p, res_p)
+
+    def init_one(st, inp):
+        Hf_tri, Hx_q, r_q, rm_f, slot, fid, act, p_f = inp
         Hx_init, r_init = Hx_q[:3], r_q[:3]
         Hx_up, r_up = Hx_q[3:], r_q[3:]
         # chi2 on the update portion (dof = total rows, reference quirk:
@@ -295,6 +300,6 @@ def slam_delayed_init(
     state, inited = jax.lax.scan(
         init_one,
         state,
-        (Hx_p, H_f_p, res_p, rm_p, target_slots, cand_ids, active, vals0),
+        (Hf_tri_b, Hx_q_b, r_q_b, rm_p, target_slots, cand_ids, active, vals0),
     )
     return state, {"inited": inited}
