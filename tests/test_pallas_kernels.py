@@ -68,6 +68,47 @@ def test_lk_level_pallas_matches_xla():
     np.testing.assert_allclose(flow, [2.0, -1.0], atol=0.05)
 
 
+@pytest.mark.parametrize(
+    "H,W",
+    [
+        (30, 160),   # level shorter than the 40-row search slab
+                     # (e.g. top pyramid level of a 240-row image)
+        (34, 160),   # H % 8 == 2, taller than the template slab only
+        (370, 256),  # H % 8 == 2 at full-image scale (bottom-edge
+                     # features used to overrun the slab rows)
+    ],
+)
+def test_lk_level_pallas_short_and_unaligned_heights(H, W):
+    """Regression: row-aligned DMA bases must stay in range for levels
+    shorter than the slabs and for H % 8 >= 2 bottom-edge features."""
+    from uvio_tpu.frontend.klt import lk_level
+    from uvio_tpu.frontend.pallas_kernels import lk_level_pallas
+
+    img1, img2, _ = _lk_scene(seed=H, H=max(H, 48), W=W, N=4, shift=(1, 1))
+    img1, img2 = img1[:H], img2[:H]
+    rng = np.random.default_rng(H)
+    # features on the bottom edge of the valid template range
+    uv = np.stack(
+        [rng.uniform(20, W - 20, 16), np.linspace(H - 10.0, H - 9.0, 16)], 1
+    )
+    valid = np.ones(len(uv), bool)
+    uv1, ok1 = lk_level(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uv),
+        jnp.asarray(uv), jnp.asarray(valid),
+    )
+    uv2, ok2 = lk_level_pallas(
+        jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(uv),
+        jnp.asarray(uv), jnp.asarray(valid), interpret=True,
+    )
+    uv1, ok1, uv2, ok2 = map(np.asarray, (uv1, ok1, uv2, ok2))
+    both = ok1 & ok2
+    # tracks the XLA path keeps must agree; pallas may drop extras only
+    # via its documented search-margin restriction, not corruption
+    if both.any():
+        assert np.abs(uv1[both] - uv2[both]).max() < 1e-3
+    assert not np.isnan(uv2).any()
+
+
 def test_lk_level_pallas_border_and_invalid():
     """Features near borders fail cleanly; invalid stay invalid."""
     from uvio_tpu.frontend.pallas_kernels import lk_level_pallas

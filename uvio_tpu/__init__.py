@@ -16,8 +16,10 @@ Design stance (vs. the C++/Eigen reference):
   * determinism comes for free (seeded, no thread nondeterminism).
 
 Float64 is enabled at import: covariance algebra follows the reference in
-double precision (cheap at these state sizes; frontend kernels explicitly
-use f32/bf16).
+double precision on CPU hosts (cheap at these state sizes). On TPU the
+filter runs in f32 with exact-f32 matmuls (see the matmul-precision pin
+below) — validated by NEES against the f64 path — and the image-plane
+frontend kernels run in f32.
 """
 
 import os

@@ -16,6 +16,13 @@ from __future__ import annotations
 from typing import Dict, List, Set, Tuple
 
 
+def _tkey(t: float) -> int:
+    """Quantize a stamp to integer nanoseconds for index keys: callers
+    that recompute a stamp (rather than passing it verbatim) still hit
+    the same bucket, matching the pre-index scan's 1e-9 tolerance."""
+    return int(round(t * 1e9))
+
+
 class Feature:
     __slots__ = ("feat_id", "obs", "to_delete", "_n", "_newest")
 
@@ -69,10 +76,8 @@ class Feature:
 class FeatureDatabase:
     def __init__(self):
         self.features: Dict[int, Feature] = {}
-        # timestamp -> feature ids observed at that exact stamp
-        # (stamps flow through the pipeline verbatim, so exact float
-        # keys are consistent with the manager's slot-time matching)
-        self._by_time: Dict[float, Set[int]] = {}
+        # ns-quantized timestamp -> feature ids observed at that stamp
+        self._by_time: Dict[int, Set[int]] = {}
 
     def update_feature(self, feat_id: int, t: float, cam: int, u: float, v: float):
         f = self.features.get(feat_id)
@@ -80,7 +85,7 @@ class FeatureDatabase:
             f = Feature(feat_id)
             self.features[feat_id] = f
         f.add(t, cam, u, v)
-        self._by_time.setdefault(t, set()).add(feat_id)
+        self._by_time.setdefault(_tkey(t), set()).add(feat_id)
 
     def features_not_seen_at(self, t: float):
         """Lost tracks: newest obs strictly older than t
@@ -90,7 +95,8 @@ class FeatureDatabase:
     def features_seen_at(self, t: float):
         """Tracks with an observation at exactly time t
         (features_containing semantics)."""
-        ids = self._by_time.get(t)
+        tk = _tkey(t)
+        ids = self._by_time.get(tk)
         if ids is None:
             return []
         # Validate each hit against the feature's actual observations:
@@ -101,11 +107,11 @@ class FeatureDatabase:
         for i in ids:
             f = self.features.get(i)
             if f is not None and any(
-                o[0] == t for lst in f.obs.values() for o in lst
+                _tkey(o[0]) == tk for lst in f.obs.values() for o in lst
             ):
                 live.add(i)
         if len(live) != len(ids):
-            self._by_time[t] = live
+            self._by_time[tk] = live
         # emit in feature-INSERTION order (dict order of self.features):
         # downstream triage breaks num_obs ties by this order, and the
         # pre-index full scan iterated insertion order — iteration order
@@ -123,7 +129,8 @@ class FeatureDatabase:
         for f in self.features.values():
             f.clean_older_than(t)
         self.features = {i: f for i, f in self.features.items() if f.num_obs() > 0}
-        self._by_time = {tt: ids for tt, ids in self._by_time.items() if tt >= t}
+        tk = _tkey(t)
+        self._by_time = {tt: ids for tt, ids in self._by_time.items() if tt >= tk}
 
     def __len__(self):
         return len(self.features)
@@ -143,6 +150,6 @@ class FeatureDatabase:
             for c, lst in obs.items():
                 for o in lst:
                     f.add(o[0], int(c), o[1], o[2])
-                    db._by_time.setdefault(o[0], set()).add(f.feat_id)
+                    db._by_time.setdefault(_tkey(o[0]), set()).add(f.feat_id)
             db.features[int(i)] = f
         return db

@@ -95,7 +95,7 @@ def fast_score_pallas(img: jnp.ndarray, thresh: float = 20.0, interpret: bool = 
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n * _TILE, Wp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_TILE + 8, Wp), jnp.float32),
@@ -138,7 +138,7 @@ _LK_NSLAB_H = 40  # search slab rows: residual (<8) + patch + 2*margin, 8-multip
 def _lk_kernel(
     uv_ref, guess_ref, valid_ref, imgp_hbm, imgn_hbm,
     out_uv, out_ok, tslab, nslab, sem, sem2,
-    *, N, half, iters, min_eig, H, W, W_pad,
+    *, N, half, iters, min_eig, H, W, H_pad, W_pad,
 ):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -162,9 +162,16 @@ def _lk_kernel(
         return (jnp.minimum(x0c, jnp.int32(W_pad - TW)) // c128) * c128
 
     def aligned_base_row(y0c, slab_h):
-        # sublane (dim 0) DMA offsets must be 8-aligned likewise
+        # sublane (dim 0) DMA offsets must be 8-aligned likewise. Clamp
+        # against the 8-multiple PADDED height (H_pad >= slab_h by
+        # construction in the wrapper): with the raw H the base went
+        # negative whenever a pyramid level was shorter than the slab
+        # (OOB HBM DMA), and for H % 8 >= 2 the sub-slab residual could
+        # exceed slab_h - patch and overrun the slab for bottom-edge
+        # features. H_pad % 8 == 0 and slab_h % 8 == 0 keep the clamped
+        # base exact, non-negative, and the residual < 8.
         c8 = jnp.int32(8)
-        return (jnp.minimum(y0c, jnp.int32(H - slab_h)) // c8) * c8
+        return (jnp.minimum(y0c, jnp.int32(H_pad - slab_h)) // c8) * c8
 
     def bilinear(slab, oy, ox, fy, fx, size, ph, pw):
         # (size+1, size+1) corner block at integer offset (oy, ox).
@@ -320,13 +327,18 @@ def lk_level_pallas(
     # bases stay in range (Mosaic: dynamic lane offsets must be provably
     # 128-aligned)
     W_pad = ((W + 127) // 128) * 128 + 128
+    # pad height to an 8 multiple, never below the tallest slab, so the
+    # aligned sublane DMA bases stay in [0, H_pad - slab_h] even for
+    # pyramid levels shorter than the slab (e.g. 30-row top level of a
+    # 240-row image) and for H % 8 != 0 bottom-edge features
+    H_pad = max(((H + 7) // 8) * 8, _LK_NSLAB_H)
     pad = W_pad - W
-    img_prev = jnp.pad(img_prev, ((0, 0), (0, pad)))
-    img_next = jnp.pad(img_next, ((0, 0), (0, pad)))
+    img_prev = jnp.pad(img_prev, ((0, H_pad - H), (0, pad)))
+    img_next = jnp.pad(img_next, ((0, H_pad - H), (0, pad)))
 
     kern = functools.partial(
         _lk_kernel, N=N, half=half, iters=iters, min_eig=float(min_eig),
-        H=H, W=W, W_pad=W_pad,
+        H=H, W=W, H_pad=H_pad, W_pad=W_pad,
     )
     out_uv, out_ok = pl.pallas_call(
         kern,
@@ -338,8 +350,8 @@ def lk_level_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -334,6 +334,14 @@ class VioManager:
             self._jit_full = make_full_step(self._full_cfg)
 
     # ------------------------------------------------------------------
+    def _async_eligible(self) -> bool:
+        """Extra per-frame gate on the async (no-sync) dispatch path.
+        Subclasses veto it while a host mirror that only updates on the
+        sync path is still load-bearing (UVioManager: the traveled-
+        distance UWB ingestion gate)."""
+        return True
+
+    # ------------------------------------------------------------------
     def _check_cov_ok(self, cov_ok: bool, where: str):
         """Act on the device-side covariance health flag (negative
         diagonal / NaN after an update). Reference hard-exits
@@ -945,7 +953,7 @@ class VioManager:
             cfg.async_dispatch
             and S == 0
             and not cfg.try_zupt
-            and not sets
+            and self._async_eligible()
         ):
             t2h = _time.perf_counter()
             if not hasattr(self, "_pending_infos"):
@@ -961,7 +969,20 @@ class VioManager:
                 self._check_cov_ok(
                     bool(ok_old), f"fused frame step (deferred, t={t_old:.3f})"
                 )
+                # piggyback the host mirrors that only refresh on the
+                # sync path onto this already-paid round trip: the EKF
+                # moves calib_dt while the host builds IMU windows from
+                # the stale mirror, and traveled distance feeds the UWB
+                # ingestion gate (UVioManager.cpp:64-67)
+                if cfg.calib_cam_timeoffset:
+                    self._dt_host = float(self.state.calib_dt)
+                self._track_distance()
             self.last_msckf_info = infos["msckf"]  # device arrays, lazy
+            if sets:
+                # in-step UWB drain bookkeeping is host-deterministic:
+                # nothing below needs the device's accept flags
+                self.last_uwb_info = {"accepted": infos["uwb_accepted"]}
+                self._consume_uwb_sets(sets)
             self._last_prop_dt = dt_now
             for f in feats:
                 f.to_delete = True

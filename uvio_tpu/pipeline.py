@@ -229,15 +229,29 @@ def full_filter_step(state: FilterState, fb: FrameBundle, *, cfg: FullStepConfig
 
             def uwb_body(s, inp):
                 it, iw, ia, ts, rr, rm = inp
-                s, _ = propagate_mean_cov(
-                    s, L, it, iw, ia, cfg.noises, cfg.gravity_mag,
-                    integration=cfg.integration, stamp_time=ts,
+
+                def work(s):
+                    s, _ = propagate_mean_cov(
+                        s, L, it, iw, ia, cfg.noises, cfg.gravity_mag,
+                        integration=cfg.integration, stamp_time=ts,
+                    )
+                    s, info = uwb_update(
+                        s, L, rr, rm,
+                        sigma_range=cfg.sigma_range, chi2_mult=cfg.uwb_chi2_mult,
+                    )
+                    return s, info["accepted"]
+
+                # capacity-padding rows (no ranges, no time advance) skip
+                # the whole propagate+update: the manager pads to the
+                # static U capacity, and each padded sub-step otherwise
+                # costs a full M-sample covariance propagation (~2 ms on
+                # a CPU host — the uwb live-loop's dominant waste)
+                return jax.lax.cond(
+                    jnp.any(rm) | (ts > s.time),
+                    work,
+                    lambda s: (s, jnp.zeros((A,), bool)),
+                    s,
                 )
-                s, info = uwb_update(
-                    s, L, rr, rm,
-                    sigma_range=cfg.sigma_range, chi2_mult=cfg.uwb_chi2_mult,
-                )
-                return s, info["accepted"]
 
             st, uwb_acc = jax.lax.scan(
                 uwb_body, st,

@@ -260,7 +260,14 @@ def zupt_explicit_update(
         return new_st
 
     def do_inertial(st):
-        new_st, _ = ekf_update(st, L, Hm, rm, r_diag, rmask)
+        # mirror zupt_try_update's accept path exactly: bias random-walk
+        # inflation, then the 9-dof compressed system (the gate above
+        # tested this same compressed system against the inflated cov)
+        st = st.replace(cov=_bias_inflated_cov(st, L, noises, dt_sum))
+        new_st, _ = ekf_update(
+            st, L, Hc9, rc9,
+            jnp.full((9,), noise_mult, dtype), jnp.ones((9,), bool),
+        )
         return new_st.replace(
             time=imu_t[-1] if stamp_time is None else stamp_time
         )

@@ -123,6 +123,20 @@ class UVioManager(VioManager):
             ]
 
     # ------------------------------------------------------------------
+    def _async_eligible(self) -> bool:
+        """`feed_uwb` gates ingestion on the traveled distance
+        (`UVioManager.cpp:64-67`), and distance is only accumulated when
+        a frame syncs (it needs the device-side position). Stay on the
+        sync path until the gate is permanently open — distance is
+        monotone non-decreasing, so once passed async can never starve
+        the UWB ingestion again (the 32-frame periodic sync keeps the
+        mirror fresh afterwards)."""
+        return (
+            not self.anchors_initialized
+            or self.distance > self.ucfg.min_dist_to_use_uwb
+        )
+
+    # ------------------------------------------------------------------
     def initialize_anchors(self, anchors: List[AnchorConfig]):
         """Insert anchors with prior covariance (initialize_new_uwb_anchor
         equivalent; supports late additions for runtime-initialized
