@@ -54,6 +54,25 @@ int main(int argc, char **argv) {
     return 1;
   }
 
+  // Dump the estimator's STARTING calibration (perturbed by the
+  // Simulator ctor when sim_do_perturbation is set — params is taken by
+  // reference, run_simulation.cpp:97) so the replay seeds identically:
+  //   dt
+  //   per cam: intr(8) q_ItoC(xyzw) p_IinC(3)
+  {
+    std::ofstream f(out + "/calib_seed.txt");
+    f.precision(17);
+    f << params.calib_camimu_dt << "\n";
+    for (int i = 0; i < params.state_options.num_cameras; i++) {
+      Eigen::VectorXd intr = params.camera_intrinsics.at(i)->get_value();
+      Eigen::VectorXd ext = params.camera_extrinsics.at(i); // [q_ItoC; p_IinC]
+      for (int r = 0; r < 8; r++)
+        f << intr(r) << " ";
+      for (int r = 0; r < 7; r++)
+        f << ext(r) << (r + 1 < 7 ? " " : "\n");
+    }
+  }
+
   // groundtruth initialization at the first IMU time (run_simulation.cpp:115-131)
   double next_imu_time = sim->current_timestamp() + 1.0 / params.sim_freq_imu;
   Eigen::Matrix<double, 17, 1> imustate;
@@ -123,6 +142,25 @@ int main(int argc, char **argv) {
     }
   }
   auto clk1 = std::chrono::steady_clock::now();
+  // final converged calibration (same row format as calib_seed.txt) for
+  // the online-calibration head-to-head
+  {
+    auto state = sys->get_state();
+    std::ofstream f(out + "/ref_calib_final.txt");
+    f.precision(17);
+    f << state->_calib_dt_CAMtoIMU->value()(0) << "\n";
+    for (int i = 0; i < params.state_options.num_cameras; i++) {
+      Eigen::VectorXd intr = state->_cam_intrinsics.at(i)->value();
+      Eigen::Vector4d q = state->_calib_IMUtoCAM.at(i)->quat();
+      Eigen::Vector3d p = state->_calib_IMUtoCAM.at(i)->pos();
+      for (int r = 0; r < 8; r++)
+        f << intr(r) << " ";
+      for (int r = 0; r < 4; r++)
+        f << q(r) << " ";
+      for (int r = 0; r < 3; r++)
+        f << p(r) << (r + 1 < 3 ? " " : "\n");
+    }
+  }
   double wall = std::chrono::duration<double>(clk1 - clk0).count();
   std::printf("{\"frames\": %d, \"wall_s\": %.3f, \"fps\": %.1f}\n", n_frames, wall,
               n_frames / wall);

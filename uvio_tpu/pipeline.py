@@ -239,6 +239,19 @@ def full_filter_step(state: FilterState, fb: FrameBundle, *, cfg: FullStepConfig
                         s, L, rr, rm,
                         sigma_range=cfg.sigma_range, chi2_mult=cfg.uwb_chi2_mult,
                     )
+                    # Deliberate deviation from the reference: re-seed the
+                    # IMU-state FEJ to the range-updated mean so the NEXT
+                    # propagation's first-interval transition linearizes at
+                    # the corrected state (the reference leaves FEJ at the
+                    # pre-update mean). A/B on the uwb head-to-head stream:
+                    # with refresh 0.015 m ATE, reference FEJ semantics
+                    # 0.018 m (ref itself: 0.064 m). The clone/landmark
+                    # FEJ — where first-estimates consistency lives — is
+                    # untouched. (Before the skip-padding cond above, the
+                    # capacity-padding sub-steps refreshed FEJ as a side
+                    # effect; this makes it explicit — outputs bit-match
+                    # the old step to ~1e-15.)
+                    s = s.replace(q_fej=s.q, p_fej=s.p, v_fej=s.v)
                     return s, info["accepted"]
 
                 # capacity-padding rows (no ranges, no time advance) skip
