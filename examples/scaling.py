@@ -31,6 +31,7 @@ bench.py's number.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -148,11 +149,140 @@ def run_ba_strong(n_devices: int, N=32, L=2048, iters=8, n_rep=3):
     return (time.time() - t0) / n_rep
 
 
+def _multiproc_worker():
+    """One process of the multi-host demo: init jax.distributed from
+    env, build the DCN-aware ("kf","lm") mesh (kf axis = process axis),
+    run the sharded BA, and check the final cost against the
+    single-process value shipped via env."""
+    import jax
+
+    from uvio_tpu.parallel.distributed import (
+        init_from_env, make_ba_mesh, print_comm_table,
+    )
+
+    assert init_from_env(), "UVIO_* env vars must be set for --worker"
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from uvio_tpu.parallel.ba import BAOptions, ba_solve
+
+    pid = jax.process_count(), jax.process_index()
+    q, p, lm0, obs, mask, lm_true = _ba_problem(N=8, L=64)
+    mesh = make_ba_mesh()
+    # distributed arrays: every process holds the same full numpy
+    # values; make_array_from_callback slices out each device's shard
+    def dist(x, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx: np.asarray(x)[idx]
+        )
+
+    args = (
+        dist(q, P("kf")), dist(p, P("kf")), dist(lm0, P("lm")),
+        dist(obs, P("lm", "kf")), dist(mask, P("lm", "kf")),
+    )
+    _, _, lmr, info = ba_solve(*args, BAOptions(iters=6), mesh=mesh)
+    cost0, cost1 = float(info["costs"][0]), float(info["costs"][-1])
+    expect = float(os.environ.get("UVIO_EXPECT_COST", "nan"))
+    # cost floor is set by the injected 1e-3 obs noise; the decisive
+    # check is agreement with the single-process solve
+    ok = cost1 < cost0 * 0.05 and (
+        np.isnan(expect) or abs(cost1 - expect) < 1e-6 + 1e-3 * abs(expect)
+    )
+    if jax.process_index() == 0:
+        print(f"[multiproc] mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"procs={pid[0]} cost {cost0:.3e} -> {cost1:.3e} "
+              f"(single-proc {expect:.3e}) {'OK' if ok else 'MISMATCH'}")
+        print_comm_table(8, 64, mesh.devices.shape[0], mesh.devices.shape[1])
+    assert ok
+    jax.distributed.shutdown()
+
+
+def _ba_problem(N=8, L=64, seed=3):
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    from uvio_tpu.math import rot_to_quat
+
+    th = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    p = np.stack([3 * np.cos(th), 3 * np.sin(th), 0.1 * np.sin(2 * th)], axis=1)
+    lm = rng.uniform(-1.5, 1.5, (L, 3))
+    qs, Rs = [], []
+    for k in range(N):
+        z = -p[k] / np.linalg.norm(p[k])
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z]))
+        qs.append(np.asarray(rot_to_quat(jnp.asarray(Rs[-1]))))
+    q, R = np.stack(qs), np.stack(Rs)
+    pc = np.einsum("nij,lnj->lni", R, lm[:, None, :] - p[None, :, :])
+    mask = pc[..., 2] > 0.5
+    obs = pc[..., :2] / np.where(np.abs(pc[..., 2:]) < 1e-3, 1e-3, pc[..., 2:])
+    obs += 1e-3 * rng.standard_normal(obs.shape)
+    lm0 = lm + 0.1 * rng.standard_normal(lm.shape)
+    return q, p, lm0, obs, mask, lm
+
+
+def run_multiproc(n_procs=2, local_devices=4):
+    """Spawn an n-process gloo cluster on this host (each with
+    `local_devices` virtual CPU devices) and run the DCN-aware sharded
+    BA across them — the 2-process x 4-device demonstration of the
+    multi-host path (kf axis over DCN, lm axis within a host)."""
+    import socket
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from uvio_tpu.parallel.ba import BAOptions, ba_solve
+
+    # single-process reference value for the workers to check against
+    q, p, lm0, obs, mask, _ = _ba_problem(N=8, L=64)
+    _, _, _, info = ba_solve(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(lm0),
+        jnp.asarray(obs), jnp.asarray(mask), BAOptions(iters=6),
+    )
+    expect = float(info["costs"][-1])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(n_procs):
+        env = dict(os.environ)
+        env.update(
+            UVIO_COORDINATOR=f"127.0.0.1:{port}",
+            UVIO_NUM_PROCESSES=str(n_procs),
+            UVIO_PROCESS_ID=str(pid),
+            UVIO_EXPECT_COST=str(expect),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env,
+        ))
+    rc = [pr.wait(timeout=600) for pr in procs]
+    assert all(r == 0 for r in rc), f"multiproc demo failed: rc={rc}"
+    print(f"multiproc demo: {n_procs} processes x {local_devices} devices OK")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--write", type=str, default=None)
+    ap.add_argument("--multiproc", action="store_true",
+                    help="run the 2-process x 4-device multi-host demo")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args.worker:
+        _multiproc_worker()
+        return
+    if args.multiproc:
+        run_multiproc()
+        return
     import jax
 
     nd = len(jax.devices())
