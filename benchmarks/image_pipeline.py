@@ -178,6 +178,140 @@ def main():
                           "pallas": round(t_pal, 3), "xla": round(t_xla, 3),
                           "speedup": round(t_xla / t_pal, 2)}))
 
+    # ---- 2b) fused image -> pose on chip (ONE dispatch per frame) ---
+    # The device-resident fused step (frontend + triage + MSCKF in one
+    # jit, uvio_tpu/frontend/fused_vio.py): frames preloaded to HBM,
+    # dispatches pipelined, ONE sync at the end — wall/frames is the
+    # measured on-chip image->pose time, not a sum of stage times.
+    from uvio_tpu.filter.propagator import select_imu_readings_np
+    from uvio_tpu.frontend.fused_vio import make_fused_vio_step
+    from uvio_tpu.types import StateLayout, init_state
+
+    layout = StateLayout(max_clones=11, max_imu_batch=32, max_slam=0)
+    fstep, make_carry = make_fused_vio_step(
+        layout, cam.intrinsics, cam.model, sigma_pix=2.0
+    )
+    jstep = jax.jit(fstep)
+    g0 = sim.get_gt_state(stamps[0])
+    st0 = init_state(layout, dtype=jnp.float32)
+    st0 = st0.replace(
+        time=jnp.asarray(stamps[0], jnp.float64),
+        q=jnp.asarray(g0["q_GtoI"], jnp.float32),
+        p=jnp.asarray(g0["p_IinG"], jnp.float32),
+        v=jnp.asarray(g0["v_IinG"], jnp.float32),
+        bg=jnp.asarray(g0["bg"], jnp.float32),
+        ba=jnp.asarray(g0["ba"], jnp.float32),
+        q_fej=jnp.asarray(g0["q_GtoI"], jnp.float32),
+        p_fej=jnp.asarray(g0["p_IinG"], jnp.float32),
+        v_fej=jnp.asarray(g0["v_IinG"], jnp.float32),
+        calib_cam_q=jnp.asarray(cam.q_ItoC, jnp.float32)[None],
+        calib_cam_p=jnp.asarray(cam.p_IinC, jnp.float32)[None],
+        calib_cam_intr=jnp.asarray(cam.intrinsics, jnp.float32)[None],
+        cov=jnp.asarray(
+            np.diag([1e-5] * 6 + [1e-4] * 3 + [1e-5] * 6
+                    + [0.0] * (layout.dim - 15)), jnp.float32),
+    )
+    imu_np = np.asarray(imu_rows)
+    windows = []
+    cur = stamps[0]
+    for i in range(1, len(stamps)):
+        tt, ww, aa = select_imu_readings_np(
+            imu_np[:, 0], imu_np[:, 1:4], imu_np[:, 4:7],
+            cur, stamps[i], layout.max_imu_batch,
+        )
+        windows.append((jnp.asarray(tt), jnp.asarray(ww), jnp.asarray(aa),
+                        jnp.asarray(stamps[i], jnp.float64)))
+        cur = stamps[i]
+
+    def run_fused():
+        st, carry = st0, make_carry(imgs_dev[0])
+        key = jax.random.PRNGKey(0)
+        last = None
+        for i, (tt, ww, aa, ts) in enumerate(windows):
+            key, sub = jax.random.split(key)
+            st, carry, last = jstep(st, carry, imgs_dev[i + 1], tt, ww, aa, ts, sub)
+        # checksum sync: through the remote tunnel, loops that never
+        # materialize a value report arbitrarily fast times
+        jax.block_until_ready(st.cov)
+        return st, last
+
+    st_f, info_f = run_fused()  # compile + warm
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        st_f, info_f = run_fused()
+    per_frame = (time.perf_counter() - t0) / (n_rep * len(windows))
+    g_end = sim.get_gt_state(stamps[len(windows)])
+    print(json.dumps({
+        "metric": f"image_to_pose_fused_fps_{platform}",
+        "value": round(1.0 / per_frame, 1), "unit": "frames/s",
+        "per_frame_ms": round(per_frame * 1e3, 2),
+        "final_p_err_m": round(float(np.linalg.norm(
+            np.asarray(st_f.p) - g_end["p_IinG"])), 3),
+        "cov_ok": bool(info_f["cov_ok"]),
+    }))
+
+    # ---- 2c) roofline accounting for the frontend kernels ----------
+    # bytes = algorithmic minimum HBM traffic (read inputs once + write
+    # outputs once); achieved = bytes/time vs the chip's peak HBM BW.
+    # Numbers far below peak mean the kernel is latency/compute-bound,
+    # NOT bandwidth-bound — the honest denominator for "frontend fps".
+    if platform == "tpu":
+        PEAK_GBS = 819.0  # v5e HBM
+        img_bytes = H * W * 4
+        pyr_bytes = sum((H >> l) * (W >> l) * 4 for l in range(tracker.levels))
+        lk_bytes = 150 * ((24 + 40) * 256 * 4)  # template+search slabs/feat
+        rows = [
+            ("hist_eq", 2 * img_bytes, "histeq_ms"),
+            ("fast9_score", 2 * img_bytes, "fast_ms"),
+            ("pyramid", img_bytes + pyr_bytes, "pyramid_ms"),
+            ("lk_level0_150f", lk_bytes, "lk_ms"),
+        ]
+        from uvio_tpu.frontend import klt as K2
+        from uvio_tpu.frontend import pallas_kernels as PK2
+
+        img_d2 = imgs_dev[0]
+        pyr0 = K2.build_pyramid(img_d2, tracker.levels)
+        uvr = jnp.asarray(np.random.default_rng(0).uniform(
+            [40, 40], [W - 40, H - 40], (150, 2)).astype(np.float32))
+        vr = jnp.ones((150,), bool)
+        # IN-GRAPH replication over shifted inputs (one jit, Rk kernel
+        # applications, one sync): per-call dispatch through the remote
+        # tunnel otherwise dominates and wildly overstates kernel times
+        Rk = 8
+        timers = {
+            "histeq_ms": jax.jit(lambda im: sum(
+                K2.hist_equalize(im + i).sum() for i in range(Rk))),
+            "fast_ms": jax.jit(lambda im: sum(
+                PK2.fast_score_pallas(im + i, 20.0).sum() for i in range(Rk))),
+            "pyramid_ms": jax.jit(lambda im: sum(
+                K2.build_pyramid(im + i, tracker.levels)[-1].sum()
+                for i in range(Rk))),
+            "lk_ms": jax.jit(lambda im: sum(
+                PK2.lk_level_pallas(
+                    im + i, im + i + 1, uvr, uvr, vr, 7, 10, 1e-4
+                )[0].sum() for i in range(Rk))),
+        }
+        def t_ms(fn, arg, reps=5):
+            jax.block_until_ready(fn(arg))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(arg)
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / (reps * Rk) * 1e3
+
+        table = {}
+        for name, nbytes, key_ in rows:
+            ms = t_ms(timers[key_], pyr0[0] if key_ == "lk_ms" else img_d2)
+            gbs = nbytes / (ms * 1e-3) / 1e9
+            table[name] = {
+                "ms": round(ms, 3), "min_MB": round(nbytes / 1e6, 3),
+                "achieved_GBs": round(gbs, 2),
+                "pct_of_peak_hbm": round(100 * gbs / PEAK_GBS, 2),
+            }
+        print(json.dumps({"metric": "frontend_roofline_752x480",
+                          "peak_hbm_GBs": PEAK_GBS, "kernels": table}))
+
     # ---- 3) live image -> pose -------------------------------------
     import dataclasses
 

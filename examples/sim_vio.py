@@ -30,7 +30,11 @@ def main():
         "--klt", action="store_true",
         help="run the real KLT frontend on rendered frames instead of the sim tracker",
     )
-    ap.add_argument("--still-time", type=float, default=0.0)
+    ap.add_argument(
+        "--still-time", type=float, default=None,
+        help="stationary prefix seconds (default: 6 when --static-init, "
+        "else 0 — static init needs a still start to detect)",
+    )
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--record", type=str, default=None,
                     help="directory to write est.txt/gt.txt TUM trajectories")
@@ -57,6 +61,8 @@ def main():
             3: (np.array([-4.0, -4.0, 2.5]), 0.2, 0.0),
             4: (np.array([4.0, -4.0, 1.0]), 0.0, 0.02),
         }
+    if args.still_time is None:
+        args.still_time = 6.0 if args.static_init else 0.0
     sim = Simulator(
         SimParams(
             sim_freq_imu=args.imu_hz,

@@ -69,16 +69,20 @@ def try_static_init(
     t_new = imu_t[-1]
     t_mid = t_new - 0.5 * opts.window_time
     t_old = t_new - opts.window_time
-    if imu_t[0] > t_old:
-        return None  # buffer too short
-    sel1 = (imu_t >= t_old) & (imu_t < t_mid)  # older window
-    sel2 = imu_t >= t_mid  # newer window
-    if sel1.sum() < 5 or sel2.sum() < 5:
+    if t_new - imu_t[0] < opts.window_time:
+        return None  # buffer too short (StaticInitializer.cpp:50)
+    # exact reference boundaries (StaticInitializer.cpp:56-64):
+    # window_2to1 = (t-w, t-w/2], window_1to0 = (t-w/2, t]
+    sel1 = (imu_t > t_old) & (imu_t <= t_mid)  # older window
+    sel2 = imu_t > t_mid  # newer window
+    if sel1.sum() < 2 or sel2.sum() < 2:
         return None
     a1, a2 = imu_a[sel1], imu_a[sel2]
     w1 = imu_w[sel1]
-    var1 = np.sqrt(np.mean(np.sum((a1 - a1.mean(0)) ** 2, axis=1)))
-    var2 = np.sqrt(np.mean(np.sum((a2 - a2.mean(0)) ** 2, axis=1)))
+    # sample std-dev with the reference's n-1 normalization
+    # (StaticInitializer.cpp:82, 99)
+    var1 = np.sqrt(np.sum((a1 - a1.mean(0)) ** 2) / (len(a1) - 1))
+    var2 = np.sqrt(np.sum((a2 - a2.mean(0)) ** 2) / (len(a2) - 1))
     if var1 > opts.imu_thresh:
         return None  # too much motion in the "still" window
     if opts.wait_for_jerk and var2 < opts.imu_thresh:
@@ -104,8 +108,8 @@ def try_static_init(
         ]
     )
     # initialize at the end of the STILL window in both modes like the
-    # reference (timestamp = window_2to1.back(), StaticInitializer.cpp:135)
-    t0 = float(imu_t[sel2][0])
+    # reference (timestamp = window_2to1.back(), StaticInitializer.cpp:134)
+    t0 = float(imu_t[sel1][-1])
     return StaticInitResult(
         time=t0,
         q_GtoI=q,

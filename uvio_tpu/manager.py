@@ -437,11 +437,22 @@ class VioManager:
         frame_times = sorted(
             {tt for f in self.db.features.values() for tt in f.times() if tt > res.time}
         )
+        # estimate rows for the replayed (already-seen) frames, from the
+        # init stamp onward — the reference emits state estimates for
+        # these while fast-forwarding, so its "first estimate" predates
+        # the decision frame by up to window/2 (recorders should consume
+        # `init_replay_rows` for latency-comparable output)
+        self.init_replay_rows = [
+            (res.time, np.asarray(res.q_GtoI), np.asarray(res.p))
+        ]
         if frame_times:
             rate = len(frame_times) // self.cfg.max_clones + 1
             for ft in frame_times[::rate]:
                 self._propagate_clone(ft)
                 self._marginalize(ft)
+                self.init_replay_rows.append(
+                    (ft, np.asarray(self.state.q), np.asarray(self.state.p))
+                )
         return True
 
     def _try_dynamic_init(self, t: float) -> bool:
@@ -585,7 +596,12 @@ class VioManager:
         self._head = 0 if self._head < 0 else (self._head + 1) % K
         self.slot_times[self._head] = pose_times[0]
         # replay every frame time in the window (consecutive frames keep
-        # IMU slices within max_imu_batch), marginalizing as we go
+        # IMU slices within max_imu_batch), marginalizing as we go.
+        # NOTE: no `init_replay_rows` here — the reference's DYNAMIC init
+        # stamps at the window END (`DynamicInitializer.cpp`), so its
+        # estimate file has no backdated rows; emitting ours would make
+        # the init-latency comparison asymmetric (the static path does
+        # backdate, matching the reference's static behavior).
         replay = [tt for tt in all_times if pose_times[0] < tt <= t]
         for pt in replay:
             self._propagate_clone(pt)
