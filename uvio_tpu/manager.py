@@ -893,9 +893,18 @@ class VioManager:
         # ---- SLAM maintenance: drop dead-track landmarks (rare
         # separate dispatches, like the reference's should_marg flags)
         if S > 0:
+            # Reference lifetime semantics (`VioManager.cpp:460-481`): a
+            # landmark is marginalized when its feature is GONE FROM THE
+            # DATABASE (feat2 == nullptr — i.e. its last observation has
+            # aged out of the clone window), not the first frame its
+            # track misses. A briefly-occluded / FOV-edge-flickering
+            # feature therefore resumes as the SAME landmark instead of
+            # re-initializing — measurably better yaw anchoring on
+            # turning trajectories (stereo corridor h2h).
+            horizon = min(self.slot_times.values()) if self.slot_times else t
             for fid in list(self.slam_slot_by_fid):
                 f = self.db.features.get(fid)
-                if f is None or f.newest_time() < t:
+                if f is None or f.newest_time() < horizon:
                     self._free_landmark(fid)
                     if f is not None:
                         f.to_delete = True
