@@ -92,24 +92,46 @@ def slam_update(
 
         Hx = jax.vmap(add_anchor)(Hx, extra, state.slam_anchor_slot)
 
+    # Pack valid rows first and TRUNCATE to a small static per-landmark
+    # row capacity: the padded (K*C*2)-row blocks are almost entirely
+    # zeros in steady state (only the newest frame's obs are unconsumed
+    # — 2C valid rows of 22), and the chi2/compression/update cost
+    # scales with the row count. Capacity covers a 4-frame backlog
+    # (occlusion-resume); overflow beyond it is dropped (rare; those
+    # measurements are consumed unused, like the reference dropping
+    # measurements cleaned from the database).
+    Mr = min(M, 8 * C)
+    order = jnp.argsort(~row_mask, axis=1, stable=True)
+    take = lambda a: jnp.take_along_axis(
+        a, order.reshape(order.shape + (1,) * (a.ndim - 2)), axis=1
+    )[:, :Mr]
+    Hx = take(Hx)
+    res = jnp.take_along_axis(res, order, axis=1)[:, :Mr]
+    row_mask_t = jnp.take_along_axis(row_mask, order, axis=1)[:, :Mr]
+
     # chi2 gate per landmark: gamma = r^T (H P H^T + R)^{-1} r, dof=rows
     def gamma_one(H_o, r_o):
-        Sm = H_o @ state.cov @ H_o.T + sigma_pix**2 * jnp.eye(M, dtype=H_o.dtype)
+        Sm = H_o @ state.cov @ H_o.T + sigma_pix**2 * jnp.eye(Mr, dtype=H_o.dtype)
         chol = jax.scipy.linalg.cho_factor(Sm, lower=True)
         return r_o @ jax.scipy.linalg.cho_solve(chol, r_o)
 
     gamma = jax.vmap(gamma_one)(Hx, res)
-    nrows = jnp.sum(row_mask, axis=1)
+    nrows = jnp.sum(row_mask_t, axis=1)
     has_obs = nrows > 0
-    keep = (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1), max_dof=M)) & has_obs
+    keep = (gamma < chi2_mult * chi2_95(jnp.maximum(nrows, 1), max_dof=Mr)) & has_obs
 
     w = keep[:, None, None].astype(Hx.dtype)
-    H_big = (Hx * w).reshape(S * M, D)
-    r_big = (res * keep[:, None]).reshape(S * M)
+    H_big = (Hx * w).reshape(S * Mr, D)
+    r_big = (res * keep[:, None]).reshape(S * Mr)
+    # with the truncated row capacity S*Mr may be BELOW D, so the
+    # compressed system has min(S*Mr, D) rows, not always D
+    rows_c = min(S * Mr, D)
     Q, Rf = jnp.linalg.qr(H_big, mode="reduced")
     r_c = Q.T @ r_big
     new_state, diag = ekf_update(
-        state, L, Rf, r_c, jnp.full((D,), sigma_pix**2, H_big.dtype), jnp.ones((D,), bool)
+        state, L, Rf, r_c,
+        jnp.full((rows_c,), sigma_pix**2, H_big.dtype),
+        jnp.ones((rows_c,), bool),
     )
     failed = has_obs & ~keep
     return new_state, {"kept": keep, "failed": failed, "cov_ok": diag["cov_ok"]}
