@@ -132,7 +132,7 @@ def test_wrong_intrinsics_hurt_then_calibration_recovers():
     _, errs_wrong = _run(fresh_sim(), VioConfig(**base), duration=20.0)
     mgr, errs_cal = _run(
         fresh_sim(),
-        VioConfig(**base, calib_imu_intrinsics=True, calib_imu_dm_prior=0.03),
+        VioConfig(**base, calib_imu_intrinsics=True, calib_imu_dw_prior=0.03, calib_imu_da_prior=0.03),
         duration=20.0,
     )
 

@@ -95,14 +95,17 @@ class VioConfig:
     imu_aq: np.ndarray = None
     # compute precision for everything except the time axis
     dtype: str = "float64"
-    # prior std-devs for online calibration states (when enabled)
-    calib_pose_prior_rot: float = 0.015  # rad
-    calib_pose_prior_pos: float = 0.01  # m
-    calib_intr_prior: float = 1.0  # focal/center px, distortion abs
-    calib_dt_prior: float = 0.01  # s
-    calib_imu_dm_prior: float = 0.01  # Dw/Da entries (unitless scale)
-    calib_imu_tg_prior: float = 0.01  # g-sensitivity entries
-    calib_imu_th_prior: float = 0.017  # gyro/acc frame rotation (rad)
+    # prior std-devs for online calibration states (when enabled) —
+    # exactly the reference's startup covariance (`State.cpp:134-163`)
+    calib_pose_prior_rot: float = 0.005  # rad (State.cpp:154)
+    calib_pose_prior_pos: float = 0.015  # m (State.cpp:156)
+    calib_intr_prior: float = 1.0  # focal/center px (State.cpp:161)
+    calib_dist_prior: float = 0.005  # distortion coeffs (State.cpp:163)
+    calib_dt_prior: float = 0.01  # s (State.cpp:150)
+    calib_imu_dw_prior: float = 0.005  # Dw entries (State.cpp:138)
+    calib_imu_da_prior: float = 0.008  # Da entries (State.cpp:139)
+    calib_imu_tg_prior: float = 0.005  # g-sensitivity (State.cpp:141)
+    calib_imu_th_prior: float = 0.005  # gyro/acc frame rot (State.cpp:144)
     # initialization
     use_static_init: bool = False
     init_options: StaticInitOptions = dataclasses.field(default_factory=StaticInitOptions)
@@ -201,7 +204,8 @@ class VioManager:
 
             L = self.layout
             blk = np.diag(
-                [cfg.calib_imu_dm_prior**2] * 12
+                [cfg.calib_imu_dw_prior**2] * 6
+                + [cfg.calib_imu_da_prior**2] * 6
                 + ([cfg.calib_imu_tg_prior**2] * 9 if cfg.calib_imu_g_sensitivity else [])
                 + [cfg.calib_imu_th_prior**2] * 3
             )
@@ -232,7 +236,11 @@ class VioManager:
                         jnp.asarray(blk, self.dtype),
                     )
             if cfg.calib_cam_intrinsics:
-                blk = np.eye(8) * cfg.calib_intr_prior**2
+                # focal/center at 1 px, distortion far tighter
+                # (State.cpp:161-163: 1.0^2 vs 0.005^2)
+                blk = np.diag(
+                    [cfg.calib_intr_prior**2] * 4 + [cfg.calib_dist_prior**2] * 4
+                )
                 for c in range(len(cfg.cameras)):
                     cov = set_block_covariance(
                         cov, jnp.int32(L.calib_cam_intr_off + 8 * c),
