@@ -236,16 +236,20 @@ def main():
         return st, last
 
     st_f, info_f = run_fused()  # compile + warm
-    n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
+    # per-rep medians: through the remote tunnel the first reps pay
+    # cache warm-up jitter (~40% slower); report the warm median
+    rep_fps = []
+    for _ in range(6):
+        t0 = time.perf_counter()
         st_f, info_f = run_fused()
-    per_frame = (time.perf_counter() - t0) / (n_rep * len(windows))
+        rep_fps.append(len(windows) / (time.perf_counter() - t0))
+    fps = float(np.median(rep_fps))
     g_end = sim.get_gt_state(stamps[len(windows)])
     print(json.dumps({
         "metric": f"image_to_pose_fused_fps_{platform}",
-        "value": round(1.0 / per_frame, 1), "unit": "frames/s",
-        "per_frame_ms": round(per_frame * 1e3, 2),
+        "value": round(fps, 1), "unit": "frames/s",
+        "per_frame_ms": round(1e3 / fps, 2),
+        "rep_fps": [round(f, 1) for f in rep_fps],
         "final_p_err_m": round(float(np.linalg.norm(
             np.asarray(st_f.p) - g_end["p_IinG"])), 3),
         "cov_ok": bool(info_f["cov_ok"]),

@@ -246,13 +246,20 @@ def lk_level(img_prev, img_next, uv_prev, uv_guess, valid, half=7, iters=10, min
     return jax.vmap(one)(uv_prev, uv_guess, valid)
 
 
-def lk_track(pyr_prev, pyr_next, uv_prev, valid, half=7, iters=10):
+def lk_track(pyr_prev, pyr_next, uv_prev, valid, half=7, iters=10,
+             coarse_iters=6):
     """Full pyramidal LK: coarse-to-fine with scaled guesses.
 
     pyr_*: lists from build_pyramid. uv_prev (N,2) level-0 pixels.
     On TPU each level dispatches to the Pallas kernel (2 DMAs per
     feature instead of a bilinear gather per iteration —
     `pallas_kernels.lk_level_pallas`); elsewhere the vmapped XLA path.
+
+    Upper pyramid levels run `coarse_iters` iterations: their residual
+    motion after the scaled guess is sub-pixel and Gauss-Newton on the
+    quadratic patch model converges in a few steps (OpenCV's
+    eps-criterion terminates there just as early); only level 0 runs
+    the full `iters` for the final sub-pixel polish.
     """
     if jax.default_backend() == "tpu":
         from .pallas_kernels import lk_level_pallas
@@ -270,7 +277,8 @@ def lk_track(pyr_prev, pyr_next, uv_prev, valid, half=7, iters=10):
         s = 2.0**lev
         uv_l = uv_prev / s
         guess, ok_l = level_fn(
-            pyr_prev[lev], pyr_next[lev], uv_l, guess, valid, half, iters,
+            pyr_prev[lev], pyr_next[lev], uv_l, guess, valid, half,
+            iters if lev == 0 else min(iters, coarse_iters),
             25.0 if lev == 0 else 0.0,
         )
         if lev == 0:
