@@ -384,13 +384,18 @@ class VioManager:
     def initialize_with_gt(self, t, q_GtoI, p, v, bg, ba, prior_std=None):
         """Groundtruth initialization (`VioManagerHelper.cpp:40-76`)."""
         if prior_std is None:
-            # reference seeds small diagonal priors
+            # the reference's exact gt-init prior
+            # (`VioManagerHelper.cpp:49-53`: base 0.02, q 0.017, p 0.05,
+            # v 0.01; biases stay at the 0.02 base). The previous bg
+            # seed here was 10x tighter than the reference's — the
+            # filter resisted early gyro-bias corrections, visible as a
+            # first-quarter rotation transient under aggressive motion.
             prior_std = np.concatenate(
                 [
-                    np.full(3, 0.02),  # theta (rad)
+                    np.full(3, 0.017),  # theta (rad)
                     np.full(3, 0.05),  # p
-                    np.full(3, 0.05),  # v
-                    np.full(3, 0.002),  # bg
+                    np.full(3, 0.01),  # v
+                    np.full(3, 0.02),  # bg
                     np.full(3, 0.02),  # ba
                 ]
             )
